@@ -1,0 +1,64 @@
+"""Static-shape image batch + padded targets.
+
+Replaces the reference's ``ImageList`` (pad-to-max dynamic batching,
+maskrcnn_benchmark/structures/image_list.py:15-91) with a *fixed* padded
+canvas: every batch is ``[B, H, W, 3]`` (NHWC — the TPU-friendly conv layout)
+at a statically configured bucket shape, with per-image valid sizes carried
+alongside. The reference's ``ImageList.__add__`` source/target concatenation
+becomes a plain leading-axis concat with an ``is_source`` flag vector; the DA
+batch layout convention is **sources first** (made explicit here where the
+reference leaves it implicit — SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class ImageBatch:
+    images: jnp.ndarray      # [B, H, W, 3] float (normalized, Caffe2 BGR-255 convention)
+    sizes: jnp.ndarray       # [B, 2] int32 (valid h, w) within the padded canvas
+    orig_sizes: jnp.ndarray  # [B, 2] int32 original (pre-resize) image h, w
+    is_source: jnp.ndarray   # [B] bool — domain flag per image
+
+    @property
+    def batch_size(self) -> int:
+        return self.images.shape[0]
+
+    @property
+    def canvas_hw(self) -> tuple[int, int]:
+        return self.images.shape[1], self.images.shape[2]
+
+    def concat(self, *others: "ImageBatch") -> "ImageBatch":
+        """Leading-axis concat (replaces ImageList.__add__; source batch must
+        come first — RPN loss relies on source-first ordering)."""
+        batches = (self, *others)
+        return ImageBatch(
+            images=jnp.concatenate([b.images for b in batches], axis=0),
+            sizes=jnp.concatenate([b.sizes for b in batches], axis=0),
+            orig_sizes=jnp.concatenate([b.orig_sizes for b in batches], axis=0),
+            is_source=jnp.concatenate([b.is_source for b in batches], axis=0),
+        )
+
+
+@struct.dataclass
+class Targets:
+    """Padded ground-truth boxes per image (capacity G = TPU.MAX_GT_BOXES)."""
+
+    boxes: jnp.ndarray   # [B, G, 4] float32 xyxy in the resized/padded frame
+    labels: jnp.ndarray  # [B, G] int32 (1..C-1; 0 reserved for background)
+    valid: jnp.ndarray   # [B, G] bool
+
+    @property
+    def capacity(self) -> int:
+        return self.boxes.shape[-2]
+
+    def concat(self, *others: "Targets") -> "Targets":
+        ts = (self, *others)
+        return Targets(
+            boxes=jnp.concatenate([t.boxes for t in ts], axis=0),
+            labels=jnp.concatenate([t.labels for t in ts], axis=0),
+            valid=jnp.concatenate([t.valid for t in ts], axis=0),
+        )

@@ -1,0 +1,14 @@
+"""Test env: force CPU backend with 8 virtual devices so multi-chip sharding
+paths are exercised without TPU hardware (the multi-device test story the
+reference lacks — SURVEY §4)."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402  (import after env is set)
+
+jax.config.update("jax_default_matmul_precision", "highest")
