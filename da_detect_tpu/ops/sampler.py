@@ -22,15 +22,12 @@ def _rank_among(mask: jnp.ndarray, priority: jnp.ndarray) -> jnp.ndarray:
     n = mask.shape[-1]
     key = jnp.where(mask, priority, -jnp.inf)
     order = jnp.argsort(-key, axis=-1)
-    ranks = jnp.zeros_like(order)
     put = jnp.broadcast_to(jnp.arange(n), order.shape)
-    ranks = jnp.take_along_axis(
-        jnp.zeros_like(order).at[..., :].set(0), jnp.zeros_like(order), axis=-1)  # placeholder
-    # scatter arange into rank positions
-    ranks = jnp.zeros_like(order)
-    ranks = jax.vmap(lambda o, p: jnp.zeros_like(o).at[o].set(p))(
-        order.reshape(-1, n), put.reshape(-1, n)).reshape(order.shape) \
-        if order.ndim > 1 else jnp.zeros_like(order).at[order].set(put)
+    if order.ndim > 1:
+        ranks = jax.vmap(lambda o, p: jnp.zeros_like(o).at[o].set(p))(
+            order.reshape(-1, n), put.reshape(-1, n)).reshape(order.shape)
+    else:
+        ranks = jnp.zeros_like(order).at[order].set(put)
     return jnp.where(mask, ranks, n)
 
 

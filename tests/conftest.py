@@ -4,6 +4,11 @@ reference lacks — SURVEY §4)."""
 
 import os
 
+# Detach from the axon TPU relay for CPU test runs: with PALLAS_AXON_POOL_IPS
+# set, every interpreter registers the axon PJRT plugin through the tunnel,
+# which intermittently stalls for minutes. (Relevant only on the axon dev
+# machine; harmless elsewhere.)
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
