@@ -108,6 +108,19 @@ class DatasetCatalog:
     @staticmethod
     def get(name: str) -> dict:
         root = data_dir()
+        # user-extensible entries: $DA_DETECT_DATA_DIR/catalog.json maps
+        # extra dataset names -> {img_dir, ann_file[, factory]} (the
+        # reference requires editing paths_catalog.py for new datasets)
+        custom_path = os.path.join(root, "catalog.json")
+        if os.path.exists(custom_path):
+            import json
+            with open(custom_path) as f:
+                custom = json.load(f)
+            if name in custom:
+                e = custom[name]
+                return {"factory": e.get("factory", "COCODataset"),
+                        "args": {"root": os.path.join(root, e["img_dir"]),
+                                 "ann_file": os.path.join(root, e["ann_file"])}}
         if name in DatasetCatalog.VOC_DATASETS:
             d, split = DatasetCatalog.VOC_DATASETS[name]
             return {"factory": "PascalVOCDataset",

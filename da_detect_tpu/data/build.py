@@ -1,0 +1,288 @@
+"""Data loaders (reference data/build.py:232-420).
+
+``make_data_loader`` — single-domain train/eval loader.
+``make_data_loader_da`` — the aligned-triplet loader (Dataset_triplet +
+BatchCollator_triplet, reference build.py:23-62): one index fetches the same
+image from source/positive/negative datasets; positive/negative reuse the
+*source* annotations with is_source=False (valid because the domains are
+pixel-aligned renderings). Unlike the reference, identical geometric
+transform parameters are applied across the triple (see transforms.py).
+
+Batches are fixed-shape (ImageBatch, Targets) pytrees, produced on host
+threads and prefetched to device. Aspect-ratio grouping
+(reference GroupedBatchSampler) becomes a two-bucket canvas: landscape
+batches use (H, W), portrait batches (W, H) — at most two XLA programs.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Sequence
+
+import jax
+import numpy as np
+
+from ..config.catalog import DatasetCatalog
+from ..structures.image_batch import ImageBatch, Targets
+from . import datasets as D
+from .transforms import (apply_geometry, canvas_for, load_image_bgr,
+                         normalize_and_pad, rasterize_polygons)
+
+
+def build_dataset(names: Sequence[str], is_train: bool, is_source: bool = True):
+    ds = []
+    for name in names:
+        data = DatasetCatalog.get(name)
+        factory = getattr(D, data["factory"])
+        args = dict(data["args"])
+        if data["factory"] == "COCODataset":
+            args["remove_images_without_annotations"] = is_train
+            args["is_source"] = is_source
+        elif data["factory"] == "PascalVOCDataset":
+            args["use_difficult"] = not is_train
+        ds.append(factory(**args))
+    if len(ds) == 1:
+        return ds[0]
+    return D.ConcatDataset(ds)
+
+
+class _SampleProcessor:
+    def __init__(self, cfg, is_train: bool, with_masks: bool = False,
+                 mask_resolution: int = 112):
+        self.is_train = is_train
+        self.min_sizes = (tuple(cfg.INPUT.MIN_SIZE_TRAIN) if is_train
+                          else (cfg.INPUT.MIN_SIZE_TEST,))
+        self.max_size = (cfg.INPUT.MAX_SIZE_TRAIN if is_train
+                         else cfg.INPUT.MAX_SIZE_TEST)
+        self.flip_prob = 0.5 if is_train else 0.0
+        self.pixel_mean = tuple(cfg.INPUT.PIXEL_MEAN)
+        self.pixel_std = tuple(cfg.INPUT.PIXEL_STD)
+        self.to_bgr255 = cfg.INPUT.TO_BGR255
+        self.canvas = canvas_for(cfg, is_train)
+        self.max_gt = cfg.TPU.MAX_GT_BOXES
+        self.with_masks = with_masks
+        self.mask_resolution = mask_resolution
+
+    def draw_params(self, rng: np.random.RandomState):
+        return dict(min_size=int(rng.choice(self.min_sizes)),
+                    hflip=bool(rng.rand() < self.flip_prob))
+
+    def canvas_hw(self, sample):
+        if sample["height"] > sample["width"]:
+            return (self.canvas[1], self.canvas[0]) if self.canvas[0] < self.canvas[1] \
+                else self.canvas
+        return self.canvas
+
+    def __call__(self, sample, params, canvas_hw):
+        img = load_image_bgr(sample["path"])
+        img, boxes, (rh, rw) = apply_geometry(
+            img, sample["boxes"], min_size=params["min_size"],
+            max_size=self.max_size, hflip=params["hflip"])
+        img = normalize_and_pad(img, canvas_hw, self.pixel_mean,
+                                self.to_bgr255, self.pixel_std)
+        g = self.max_gt
+        n = min(len(boxes), g)
+        pb = np.zeros((g, 4), np.float32)
+        pl = np.zeros((g,), np.int32)
+        pv = np.zeros((g,), bool)
+        pb[:n] = boxes[:n]
+        pl[:n] = sample["labels"][:n]
+        pv[:n] = True
+        out = dict(image=img, sizes=np.asarray([rh, rw], np.int32),
+                   orig=np.asarray([sample["height"], sample["width"]], np.int32),
+                   boxes=pb, labels=pl, valid=pv,
+                   is_source=bool(sample["is_source"]),
+                   image_id=sample["image_id"])
+        if self.with_masks:
+            masks = np.zeros((g, self.mask_resolution, self.mask_resolution),
+                             np.float32)
+            for i in range(n):
+                segs = sample["segmentations"][i]
+                if segs and isinstance(segs, list):
+                    masks[i] = rasterize_polygons(segs, pb[i],
+                                                  self.mask_resolution)
+            out["masks"] = masks
+        return out
+
+
+def _stack(processed, with_masks):
+    batch = ImageBatch(
+        images=np.stack([p["image"] for p in processed]),
+        sizes=np.stack([p["sizes"] for p in processed]),
+        orig_sizes=np.stack([p["orig"] for p in processed]),
+        is_source=np.asarray([p["is_source"] for p in processed]),
+    )
+    targets = Targets(
+        boxes=np.stack([p["boxes"] for p in processed]),
+        labels=np.stack([p["labels"] for p in processed]),
+        valid=np.stack([p["valid"] for p in processed]),
+        masks=np.stack([p["masks"] for p in processed]) if with_masks else None,
+    )
+    return batch, targets
+
+
+class _Prefetcher:
+    """Background-thread batch producer (replaces DataLoader workers)."""
+
+    def __init__(self, gen_fn, depth: int = 2):
+        self.q: queue.Queue = queue.Queue(maxsize=depth)
+        self._stop = False
+
+        def run():
+            try:
+                for item in gen_fn():
+                    if self._stop:
+                        break
+                    self.q.put(item)
+            finally:
+                self.q.put(StopIteration)
+
+        self.t = threading.Thread(target=run, daemon=True)
+        self.t.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self.q.get()
+        if item is StopIteration:
+            raise StopIteration
+        return item
+
+    def close(self):
+        self._stop = True
+
+
+def make_data_loader(cfg, *, is_train: bool, dataset_names=None,
+                     is_source: bool = True, with_masks: bool = False,
+                     shuffle: bool | None = None, seed: int = 0,
+                     infinite: bool | None = None, sharding=None):
+    """Single-domain loader. Train: yields (ImageBatch, Targets);
+    eval: yields (ImageBatch, image_ids)."""
+    if dataset_names is None:
+        dataset_names = cfg.DATASETS.TRAIN if is_train else cfg.DATASETS.TEST
+    dataset = build_dataset(dataset_names, is_train, is_source)
+    proc = _SampleProcessor(cfg, is_train, with_masks)
+    batch_size = (cfg.SOLVER.IMS_PER_BATCH if is_train
+                  else cfg.TEST.IMS_PER_BATCH)
+    shuffle = is_train if shuffle is None else shuffle
+    infinite = is_train if infinite is None else infinite
+    n_proc = jax.process_count()
+    p_idx = jax.process_index()
+
+    def generate():
+        rng = np.random.RandomState(seed + p_idx)
+        epoch = 0
+        while True:
+            order = np.arange(len(dataset))
+            if shuffle:
+                ep_rng = np.random.RandomState(seed + epoch)
+                ep_rng.shuffle(order)
+            # per-process shard (reference DistributedSampler pad-to-even)
+            order = order[p_idx::n_proc]
+            if is_train:
+                # aspect-ratio grouping: two orientation buckets
+                buckets = {True: [], False: []}
+                for idx in order:
+                    info = dataset.get_img_info(int(idx))
+                    portrait = info["height"] > info["width"]
+                    buckets[portrait].append(int(idx))
+                    if len(buckets[portrait]) == batch_size:
+                        yield from _emit(buckets[portrait], portrait)
+                        buckets[portrait] = []
+                if not infinite:
+                    for portrait, lst in buckets.items():
+                        if lst:
+                            yield from _emit(lst, portrait)
+                    break
+                epoch += 1
+            else:
+                for i in range(0, len(order), batch_size):
+                    chunk = [int(x) for x in order[i:i + batch_size]]
+                    yield from _emit(chunk, None, pad_to=batch_size)
+                break
+
+    def _emit(indices, portrait, pad_to=None):
+        rng = np.random.RandomState(hash((seed, tuple(indices))) % (2 ** 31))
+        processed, ids = [], []
+        for idx in indices:
+            s = dataset.sample(idx)
+            canvas = proc.canvas_hw(s)
+            processed.append(proc(s, proc.draw_params(rng), canvas))
+            ids.append(s["image_id"])
+        while pad_to and len(processed) < pad_to:
+            processed.append(processed[-1])
+            ids.append(None)
+        batch, targets = _stack(processed, with_masks)
+        if sharding is not None:
+            batch = jax.device_put(batch, sharding)
+            targets = jax.device_put(targets, sharding)
+        if is_train:
+            yield batch, targets
+        else:
+            yield batch, ids
+
+    return _Prefetcher(generate, depth=cfg.TPU.PREFETCH), dataset
+
+
+def make_data_loader_da(cfg, *, aligned: bool = True, seed: int = 0,
+                        sharding=None):
+    """Triplet loader: yields (batch_s, targets_s, batch_t, targets_t,
+    batch_n, targets_n) with per-device batch k = IMS_PER_BATCH // 2
+    (reference halves the batch for DA, build.py:241-246)."""
+    ds_s = build_dataset(cfg.DATASETS.SOURCE_TRAIN, True, True)
+    ds_p = build_dataset(cfg.DATASETS.TARGET_TRAIN, True, False)
+    ds_n = build_dataset(cfg.DATASETS.TARGET_TRAIN_negative, True, False) \
+        if cfg.DATASETS.TARGET_TRAIN_negative else None
+    proc = _SampleProcessor(cfg, True)
+    k = max(cfg.SOLVER.IMS_PER_BATCH // 2, 1)
+
+    n = len(ds_s)
+    if aligned:
+        n = min(n, len(ds_p), *( [len(ds_n)] if ds_n else [] ))
+
+    def generate():
+        epoch = 0
+        while True:
+            rng = np.random.RandomState(seed + epoch)
+            order = rng.permutation(n)
+            order = order[jax.process_index()::jax.process_count()]
+            for i in range(0, len(order) - k + 1, k):
+                triples = []
+                for idx in order[i:i + k]:
+                    s = ds_s.sample(int(idx))
+                    if aligned:
+                        p = ds_p.sample(int(idx))
+                        g = ds_n.sample(int(idx)) if ds_n else None
+                    else:
+                        p = ds_p.sample(int(rng.randint(len(ds_p))))
+                        g = (ds_n.sample(int(rng.randint(len(ds_n))))
+                             if ds_n else None)
+                    # positive/negative reuse the source annotations
+                    # (Dataset_triplet, reference build.py:40-47)
+                    for other in (p, g):
+                        if other is not None and aligned:
+                            other["boxes"] = s["boxes"]
+                            other["labels"] = s["labels"]
+                            other["height"] = s["height"]
+                            other["width"] = s["width"]
+                    params = proc.draw_params(rng)  # shared geometry
+                    canvas = proc.canvas_hw(s)
+                    triples.append(tuple(
+                        proc(x, params, canvas) if x is not None else None
+                        for x in (s, p, g)))
+                out = []
+                for d in range(3 if ds_n else 2):
+                    items = [t[d] for t in triples]
+                    if items[0] is None:
+                        continue
+                    b, tg = _stack(items, False)
+                    if sharding is not None:
+                        b = jax.device_put(b, sharding)
+                        tg = jax.device_put(tg, sharding)
+                    out += [b, tg]
+                yield tuple(out)
+            epoch += 1
+
+    return _Prefetcher(generate, depth=cfg.TPU.PREFETCH)

@@ -1,0 +1,19 @@
+"""Evaluation dispatch (reference data/datasets/evaluation/__init__.py)."""
+
+from __future__ import annotations
+
+from ..datasets import COCODataset, ConcatDataset, PascalVOCDataset
+from .coco_eval import do_coco_evaluation
+from .voc_eval import do_voc_evaluation
+
+
+def evaluate(dataset, predictions, output_folder=None, iou_types=("bbox",),
+             **kwargs):
+    if isinstance(dataset, ConcatDataset):
+        raise NotImplementedError("evaluate each test dataset separately")
+    if isinstance(dataset, COCODataset):
+        return do_coco_evaluation(dataset, predictions, output_folder,
+                                  iou_types)
+    if isinstance(dataset, PascalVOCDataset):
+        return do_voc_evaluation(dataset, predictions, output_folder, **kwargs)
+    raise NotImplementedError(f"no evaluator for {type(dataset)}")

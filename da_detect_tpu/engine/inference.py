@@ -1,0 +1,83 @@
+"""Evaluation engine (reference engine/inference.py:18-129).
+
+compute_on_dataset becomes one jitted eval forward per fixed-shape batch;
+predictions are brought to host, unpadded, rescaled to original image sizes,
+and handed to the dataset evaluator (COCO-style mAP in
+data/evaluation). Multi-host: each process evaluates its shard and
+predictions are merged host-side (replacing the pickle all_gather,
+inference.py:54-73).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any
+
+import jax
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+def compute_on_dataset(model, variables, data_loader, progress_every: int = 50):
+    """Returns {image_id: dict(boxes, scores, labels)} in *original* image
+    coordinates (xyxy)."""
+    eval_step = jax.jit(lambda v, b: model.apply(v, b))
+    predictions: dict[int, Any] = {}
+    t0 = time.perf_counter()
+    n_images = 0
+    for bi, (batch, image_ids) in enumerate(data_loader):
+        dets = jax.device_get(eval_step(variables, batch))
+        sizes = np.asarray(jax.device_get(batch.sizes))
+        orig = np.asarray(jax.device_get(batch.orig_sizes))
+        for i, img_id in enumerate(image_ids):
+            if img_id is None:  # padding entry of the last batch
+                continue
+            valid = dets.valid[i]
+            boxes = dets.boxes[i][valid]
+            # rescale from the resized frame to the original image
+            sy = orig[i, 0] / max(sizes[i, 0], 1)
+            sx = orig[i, 1] / max(sizes[i, 1], 1)
+            boxes = boxes * np.array([sx, sy, sx, sy], np.float32)
+            predictions[img_id] = dict(
+                boxes=boxes,
+                scores=dets.scores[i][valid],
+                labels=dets.labels[i][valid],
+            )
+            n_images += 1
+        if progress_every and (bi + 1) % progress_every == 0:
+            dt = time.perf_counter() - t0
+            log.info("eval %d images (%.3f s/img)", n_images, dt / max(n_images, 1))
+    total = time.perf_counter() - t0
+    log.info("total eval time: %.1fs (%.4f s/img, %d images)", total,
+             total / max(n_images, 1), n_images)
+    return predictions
+
+
+def inference(model, variables, data_loader, dataset, *, iou_types=("bbox",),
+              output_folder: str | None = None, expected_results=None,
+              expected_results_sigma_tol: float = 4.0):
+    """Full eval: predictions + dataset-specific evaluation
+    (reference inference.py:76-129)."""
+    predictions = compute_on_dataset(model, variables, data_loader)
+    from ..data.evaluation import evaluate
+    results = evaluate(dataset, predictions, output_folder=output_folder,
+                       iou_types=iou_types)
+    if expected_results:
+        check_expected_results(results, expected_results,
+                               expected_results_sigma_tol)
+    return results, predictions
+
+
+def check_expected_results(results, expected, sigma_tol):
+    """Regression gate (reference coco_eval.py:396-414)."""
+    for task, metric, mean, std in expected:
+        actual = results[task][metric]
+        lo, hi = mean - sigma_tol * std, mean + sigma_tol * std
+        msg = (f"{task} > {metric}: {actual:.4f} expected in "
+               f"[{lo:.4f}, {hi:.4f}]")
+        if not (lo < actual < hi):
+            log.error("FAIL: %s", msg)
+            raise AssertionError(msg)
+        log.info("PASS: %s", msg)

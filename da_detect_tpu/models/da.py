@@ -1,0 +1,276 @@
+"""Domain-adaptation heads — the research core.
+
+Re-design of reference modeling/da_heads/{da_heads.py, loss.py}:
+
+* ``DAImgHead`` — per-pixel domain classifier (1x1 512 -> 1x1 1, N(0,0.001)
+  init; da_heads.py:12-37), applied per feature level.
+* ``DAInsHead`` — instance MLP 1024-1024-1 with dropout 0.5
+  (da_heads.py:40-68); input dim inferred so both C4 (2048) and FPN (1024)
+  instance features work (the reference hard-codes 2048 and would crash on
+  its own FPN DA configs).
+* ``AdvGRL`` — when the detached probe loss <= BCE([0.7,0.3],[1,0]) ~ 0.6287,
+  the GRL weight becomes -w * min(threshold, 1/loss) (da_heads.py:173-195).
+  The scale stays a traced on-device scalar (the reference round-trips it to
+  host via .numpy(); SURVEY §7.3).
+* Domain-level triplet losses with the adaptive-margin schedule: margin grows
+  by ``lr`` whenever the *previous* step's loss hit 0 and int(margin) !=
+  int(max_margin) (loss.py:180-228). The margins/last-losses are explicit
+  state (``DAState``) threaded through the train step — the reference keeps
+  them in python lists on the module.
+* Consistency regularization (layers/consistency_loss.py): L1 between each
+  instance's domain prob and its *image's* mean image-level prob. The
+  reference hard-codes batch=2 and source-first ordering; here each instance
+  indexes its own image, so any batch layout works.
+
+All losses are computed with validity masks so padded instances contribute
+nothing.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax import struct
+
+from ..ops.grl import gradient_scalar
+from ..ops.losses import bce_with_logits, triplet_margin_loss
+
+_normal0001 = nn.initializers.normal(0.001)
+_normal001 = nn.initializers.normal(0.01)
+_normal005 = nn.initializers.normal(0.05)
+
+# BCE([0.7, 0.3], [1, 0]) — the AdvGRL activation threshold constant
+# (da_heads.py:175)
+ADVGRL_BCE_THRESHOLD = 0.62879246
+
+
+@struct.dataclass
+class DAState:
+    """Cross-step state of the adaptive triplet margins."""
+
+    margin_img: jnp.ndarray
+    margin_ins: jnp.ndarray
+    last_triplet_img: jnp.ndarray
+    last_triplet_ins: jnp.ndarray
+
+    @classmethod
+    def create(cls, margin_img: float = 1.0, margin_ins: float = 1.0):
+        # distinct arrays per field: a donated TrainState may not alias buffers
+        return cls(margin_img=jnp.array(margin_img, jnp.float32),
+                   margin_ins=jnp.array(margin_ins, jnp.float32),
+                   last_triplet_img=jnp.array(1.0, jnp.float32),
+                   last_triplet_ins=jnp.array(1.0, jnp.float32))
+
+
+class DAImgHead(nn.Module):
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: list[jnp.ndarray]) -> list[jnp.ndarray]:
+        conv1 = nn.Conv(512, (1, 1), kernel_init=_normal0001, dtype=self.dtype,
+                        name="conv1_da")
+        conv2 = nn.Conv(1, (1, 1), kernel_init=_normal0001, dtype=self.dtype,
+                        name="conv2_da")
+        return [conv2(nn.relu(conv1(f.astype(self.dtype)))) for f in features]
+
+
+class DAInsHead(nn.Module):
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = False):
+        x = nn.relu(nn.Dense(1024, kernel_init=_normal001, dtype=self.dtype,
+                             name="fc1_da")(x))
+        x = nn.Dropout(0.5, deterministic=deterministic)(x)
+        x = nn.relu(nn.Dense(1024, kernel_init=_normal001, dtype=self.dtype,
+                             name="fc2_da")(x))
+        x = nn.Dropout(0.5, deterministic=deterministic)(x)
+        return nn.Dense(1, kernel_init=_normal005, dtype=self.dtype,
+                        name="fc3_da")(x)
+
+
+def da_img_loss(da_img_logits: list[jnp.ndarray], is_source: jnp.ndarray):
+    """BCE over every pixel of every level; label = image's domain
+    (da_heads/loss.py:140-168). Level sizes differ, so accumulate sums."""
+    total, count = 0.0, 0.0
+    for lvl in da_img_logits:
+        b = lvl.shape[0]
+        lv = lvl.astype(jnp.float32).reshape(b, -1)
+        lab = jnp.broadcast_to(is_source[:, None].astype(jnp.float32), lv.shape)
+        total = total + bce_with_logits(lv, lab, reduction="sum")
+        count = count + lv.size
+    return total / count
+
+
+def da_ins_loss(da_ins_logits, domain_mask, valid):
+    """Masked BCE over sampled instances of both domains
+    (da_heads/loss.py:170-174)."""
+    logits = da_ins_logits.astype(jnp.float32).reshape(-1)
+    labels = domain_mask.astype(jnp.float32).reshape(-1)
+    return bce_with_logits(logits, labels, weights=valid.reshape(-1).astype(jnp.float32),
+                           reduction="mean")
+
+
+def consistency_loss(da_img_probs: list[jnp.ndarray], da_ins_probs, valid):
+    """L1 between each instance's prob and its image's mean image-level prob
+    (layers/consistency_loss.py:3-27, generalized past batch==2)."""
+    b, s = valid.shape
+    ins = da_ins_probs.astype(jnp.float32).reshape(b, s)
+    w = valid.astype(jnp.float32)
+    total, count = 0.0, 0.0
+    for lvl in da_img_probs:
+        img_mean = jnp.mean(lvl.astype(jnp.float32).reshape(b, -1), axis=1)  # [B]
+        diff = jnp.abs(img_mean[:, None] - ins) * w
+        total = total + jnp.sum(diff)
+        count = count + jnp.sum(w)
+    return total / jnp.maximum(count, 1.0)
+
+
+def adv_grl_weight(probe_loss, base_weight, adv_weight, threshold):
+    """-w for plain GRL; -w_adv * min(threshold, 1/loss) when the probe loss
+    is low (classifier winning) — da_heads.py:173-195."""
+    boosted = -adv_weight * jnp.minimum(threshold, 1.0 / jnp.maximum(probe_loss, 1e-8))
+    return jnp.where(probe_loss <= ADVGRL_BCE_THRESHOLD, boosted, -base_weight)
+
+
+def _updated_margin(margin, last_loss, lr, max_margin):
+    grow = (last_loss == 0.0) & (jnp.floor(margin) != jnp.floor(max_margin))
+    return margin + jnp.where(grow, lr, 0.0)
+
+
+class DomainAdaptationModule(nn.Module):
+    """Triplet-capable DA module (reference DomainAdaptationModule_triplet,
+    da_heads.py:72-349; the non-triplet DomainAdaptationModule at :354-445 is
+    this module with the triplet weights at 0)."""
+
+    img_weight: float = 1.0
+    ins_weight: float = 1.0
+    cst_weight: float = 0.1
+    triplet_img_weight: float = 1.0
+    triplet_ins_weight: float = 1.0
+    img_grl_weight: float = 0.1
+    ins_grl_weight: float = 0.1
+    img_adv_grl_weight: float = 0.1
+    ins_adv_grl_weight: float = 0.1
+    use_adv_grl: bool = True
+    adv_grl_threshold: float = 30.0
+    triplet_margin_img: float = 1.0
+    triplet_margin_ins: float = 1.0
+    triplet_max_margin: float = 1.0
+    triplet_margin_lr: float = 0.001  # reference passes lr=0.001 at call sites
+    avgpool_ins: bool = True          # resnet C4 ins features need 7x7 avgpool
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.imghead = DAImgHead(dtype=self.dtype)
+        self.inshead = DAInsHead(dtype=self.dtype)
+
+    def _flatten_ins(self, x):
+        if self.avgpool_ins and x.ndim > 3:
+            x = jnp.mean(x, axis=(-3, -2))   # [B, S, C]
+        return x.reshape(x.shape[0], x.shape[1], -1)
+
+    def __call__(self, img_features, da_ins_feature, domain_mask, ins_valid,
+                 da_ins_feas_set, img_fea_set, is_source, da_state: DAState,
+                 deterministic: bool = False):
+        """Returns (losses dict, new DAState). Mirrors
+        DomainAdaptationModule_triplet.forward (da_heads.py:293-344)."""
+        losses = {}
+        new_state = da_state
+
+        if self.triplet_ins_weight > 0 and da_ins_feas_set is not None:
+            # reference Domainlevel_Ins_component passes adaptive=False — the
+            # instance margin stays at its configured value (da_heads.py:251-274)
+            margin = jnp.asarray(self.triplet_margin_ins)
+            fs, fp, fn = [self._flatten_ins(f.astype(jnp.float32))
+                          for f in da_ins_feas_set]
+            loss_ti = triplet_margin_loss(fs, fp, fn, margin)
+            losses["triplet_loss_instance"] = self.triplet_ins_weight * loss_ti
+            new_state = new_state.replace(last_triplet_ins=jax.lax.stop_gradient(loss_ti))
+
+        if self.triplet_img_weight > 0 and img_fea_set is not None:
+            margin = _updated_margin(da_state.margin_img,
+                                     da_state.last_triplet_img,
+                                     self.triplet_margin_lr,
+                                     self.triplet_max_margin)
+            fs, fp, fn = [f.astype(jnp.float32) for f in img_fea_set]
+            # torch reduces the last dim of NCHW (= W); ours are NHWC -> axis 2
+            loss_tim = triplet_margin_loss(fs, fp, fn, margin, axis=2)
+            losses["triplet_loss_image"] = self.triplet_img_weight * loss_tim
+            new_state = new_state.replace(
+                margin_img=margin,
+                last_triplet_img=jax.lax.stop_gradient(loss_tim))
+
+        if self.img_weight > 0:
+            # detached probe pass for AdvGRL (da_heads.py:125-143)
+            probe_logits = self.imghead([jax.lax.stop_gradient(f)
+                                         for f in img_features])
+            probe_loss = jax.lax.stop_gradient(
+                da_img_loss(probe_logits, is_source))
+            if self.use_adv_grl:
+                w = adv_grl_weight(probe_loss, self.img_grl_weight,
+                                   self.img_adv_grl_weight,
+                                   self.adv_grl_threshold)
+            else:
+                w = -jnp.asarray(self.img_grl_weight)
+            grl_feas = [gradient_scalar(f, w) for f in img_features]
+            loss_img = da_img_loss(self.imghead(grl_feas), is_source)
+            losses["loss_da_image"] = self.img_weight * loss_img
+
+        if self.ins_weight > 0:
+            ins_flat = self._flatten_ins(da_ins_feature)
+            probe = self.inshead(jax.lax.stop_gradient(ins_flat),
+                                 deterministic=deterministic)
+            probe_loss = jax.lax.stop_gradient(
+                da_ins_loss(probe, domain_mask, ins_valid))
+            if self.use_adv_grl:
+                w = adv_grl_weight(probe_loss, self.ins_grl_weight,
+                                   self.ins_adv_grl_weight,
+                                   self.adv_grl_threshold)
+            else:
+                w = -jnp.asarray(self.ins_grl_weight)
+            ins_logits = self.inshead(gradient_scalar(ins_flat, w),
+                                      deterministic=deterministic)
+            losses["loss_da_instance"] = self.ins_weight * da_ins_loss(
+                ins_logits, domain_mask, ins_valid)
+
+        if self.cst_weight > 0:
+            ins_flat = self._flatten_ins(da_ins_feature)
+            img_c = self.imghead([gradient_scalar(f, self.img_grl_weight)
+                                  for f in img_features])
+            ins_c = self.inshead(gradient_scalar(ins_flat, self.ins_grl_weight),
+                                 deterministic=deterministic)
+            img_probs = [jax.nn.sigmoid(f.astype(jnp.float32)) for f in img_c]
+            ins_probs = jax.nn.sigmoid(ins_c.astype(jnp.float32))
+            losses["loss_da_consistency"] = self.cst_weight * consistency_loss(
+                img_probs, ins_probs[..., 0], ins_valid)
+
+        return losses, new_state
+
+
+def make_da_heads(cfg, dtype):
+    da = cfg.MODEL.DA_HEADS
+    is_resnet = not cfg.MODEL.BACKBONE.CONV_BODY.startswith("V")
+    c4 = cfg.MODEL.ROI_BOX_HEAD.FEATURE_EXTRACTOR == "ResNet50Conv5ROIFeatureExtractor"
+    return DomainAdaptationModule(
+        img_weight=da.DA_IMG_LOSS_WEIGHT,
+        ins_weight=da.DA_INS_LOSS_WEIGHT,
+        cst_weight=da.DA_CST_LOSS_WEIGHT,
+        triplet_img_weight=da.DA_TRIPLET_IMG_WEIGHT if da.TRIPLET_USE else 0.0,
+        triplet_ins_weight=da.DA_TRIPLET_INS_WEIGHT if da.TRIPLET_USE else 0.0,
+        img_grl_weight=da.DA_IMG_GRL_WEIGHT,
+        ins_grl_weight=da.DA_INS_GRL_WEIGHT,
+        img_adv_grl_weight=da.DA_IMG_advGRL_WEIGHT,
+        ins_adv_grl_weight=da.DA_INS_advGRL_WEIGHT,
+        use_adv_grl=da.DA_ADV_GRL,
+        adv_grl_threshold=float(da.DA_ADV_GRL_THRESHOLD),
+        triplet_margin_img=da.TRIPLET_MARGIN_IMG,
+        triplet_margin_ins=da.TRIPLET_MARGIN_INS,
+        triplet_max_margin=da.TRIPLET_MAX_MARGIN,
+        avgpool_ins=is_resnet and c4,
+        dtype=dtype,
+        name="da_heads",
+    )

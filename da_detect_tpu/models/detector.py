@@ -1,0 +1,258 @@
+"""GeneralizedRCNN — the meta-architecture.
+
+Re-design of reference modeling/detector/generalized_rcnn.py:37-156. The
+whole training forward (backbone -> RPN -> ROI heads -> DA heads) is one pure
+function suitable for a single jitted SPMD train step (SURVEY §7.1).
+
+Batch layout conventions (made explicit instead of the reference's implicit
+source-first ordering):
+* source_only: B images, all is_source=True
+* da:         B = 2k, [k source | k target]
+* da_triplet: B = 3k, [k source | k positive-target | k negative-target]
+  — detection/DA-img losses use the first 2k (reference
+  generalized_rcnn.py:96-104), the image-level triplet uses the level-0
+  features of all three slices (:90-95), and the aligned instance triplet
+  re-pools the positive slice's proposals from each domain's features
+  (:109-114).
+
+One deliberate deviation: the reference pools the DA instance features in a
+*second* feature-extractor pass over (effectively) the same sampled
+proposals (box_head.py:102-110 + loss.py:132-163 — with <= batch_size
+proposals the "resample" is the identity set). The forward values are
+identical and gradients are additive, so we reuse the pooled features; the
+total gradient matches the reference while saving a full ROI-head pass.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..structures.image_batch import ImageBatch, Targets
+from .anchors import AnchorGenerator, make_anchor_generator
+from .box_head import (Detections, fast_rcnn_loss, make_box_feature_extractor,
+                       make_box_predictor, postprocess_detections,
+                       subsample_proposals)
+from .da import DAState, make_da_heads
+from .mask_head import make_mask_head, mask_rcnn_loss
+from .rpn import (RPNHead, append_gt_proposals, rpn_config, rpn_loss,
+                  select_proposals)
+
+
+class GeneralizedRCNN(nn.Module):
+    backbone: nn.Module
+    feature_extractor: nn.Module
+    predictor: nn.Module
+    da_module: Optional[nn.Module]
+    mask_head: Optional[nn.Module]
+    num_anchors: int
+    anchor_sizes: tuple
+    aspect_ratios: tuple
+    anchor_strides: tuple
+    straddle_thresh: int
+    rpn_train: dict
+    rpn_test: dict
+    rpn_loss_cfg: dict
+    sample_cfg: dict
+    post_cfg: dict
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.rpn_head = RPNHead(num_anchors=self.num_anchors, dtype=self.dtype)
+
+    # -- shared trunk ------------------------------------------------------
+    def _features_and_rpn(self, images):
+        feats = self.backbone(images)
+        logits, deltas = self.rpn_head(feats)
+        gen = AnchorGenerator(self.anchor_sizes, self.aspect_ratios,
+                              self.anchor_strides)
+        shapes = [(f.shape[1], f.shape[2]) for f in feats]
+        anchors = [jnp.asarray(a) for a in gen.anchors_for_shapes(shapes)]
+        return feats, logits, deltas, anchors
+
+    # -- inference ---------------------------------------------------------
+    def __call__(self, batch: ImageBatch) -> Detections:
+        feats, logits, deltas, anchors = self._features_and_rpn(batch.images)
+        props = select_proposals(anchors, logits, deltas,
+                                 batch.sizes.astype(jnp.float32),
+                                 **self.rpn_test)
+        x = self.feature_extractor(feats, props.boxes)
+        cls_logits, box_deltas = self.predictor(x)
+        return postprocess_detections(cls_logits, box_deltas, props.boxes,
+                                      props.valid,
+                                      batch.sizes.astype(jnp.float32),
+                                      **self.post_cfg)
+
+    # -- training ----------------------------------------------------------
+    def _rpn_and_proposals(self, batch, targets, append_gt: bool):
+        feats, logits, deltas, anchors = self._features_and_rpn(batch.images)
+        sizes = batch.sizes.astype(jnp.float32)
+        # proposal selection runs without gradients (reference rpn.py:114-117
+        # wraps box_selector_train in no_grad)
+        sg = jax.lax.stop_gradient
+        props = select_proposals(anchors, [sg(l) for l in logits],
+                                 [sg(d) for d in deltas], sizes,
+                                 **self.rpn_train)
+        if append_gt:
+            props = append_gt_proposals(props, targets.boxes, targets.valid,
+                                        batch.is_source)
+        return feats, logits, deltas, anchors, props
+
+    def _subsample_and_extract(self, key, feats, props, targets, is_source):
+        sampled = subsample_proposals(
+            key, props.boxes, props.valid, targets.boxes, targets.labels,
+            targets.valid, is_source, **self.sample_cfg)
+        x = self.feature_extractor(feats, sampled.rois)
+        return sampled, x
+
+    def train_forward(self, batch_s: ImageBatch, targets_s: Targets,
+                      da_state: DAState, batch_t: ImageBatch = None,
+                      targets_t: Targets = None, batch_n: ImageBatch = None,
+                      targets_n: Targets = None, *, aligned: bool = False):
+        """Returns (losses dict, new DAState).
+
+        Domain slices arrive as separate [k, ...] batches (source / positive
+        target / negative target) so data-parallel sharding keeps triple i on
+        one device with no cross-device slicing. Passing only ``batch_s`` is
+        source-only training; + ``batch_t`` is classic 2-domain DA; + both is
+        the triplet path. Per-domain backbone/ROI passes skip the work the
+        reference masks out afterwards (loss-equivalent, fewer FLOPs).
+        """
+        b = batch_s.batch_size
+        mode = ("da_triplet" if batch_n is not None
+                else "da" if batch_t is not None else "source_only")
+
+        rpn_key = self.make_rng("sampling")
+        sub_key = self.make_rng("sampling")
+
+        feats_s, logits_s, deltas_s, anchors, props_s = self._rpn_and_proposals(
+            batch_s, targets_s, append_gt=True)
+
+        # RPN supervision is source-only (reference rpn/loss.py:57-98 skips
+        # target images; running it on the source slice alone is equivalent)
+        anchors_cat = jnp.concatenate(anchors, axis=0)
+        obj_cat = jnp.concatenate([l.reshape(b, -1) for l in logits_s], axis=1)
+        dl_cat = jnp.concatenate(
+            [d.reshape(b, -1, self.num_anchors, 4).reshape(b, -1, 4)
+             for d in deltas_s], axis=1)
+        loss_obj, loss_rpn_box = rpn_loss(
+            rpn_key, anchors_cat, obj_cat, dl_cat, targets_s.boxes,
+            targets_s.valid, jnp.ones((b,), bool),
+            batch_s.sizes.astype(jnp.float32), **self.rpn_loss_cfg)
+
+        sampled_s, x_s = self._subsample_and_extract(
+            sub_key, feats_s, props_s, targets_s, jnp.ones((b,), bool))
+        cls_logits, box_deltas = self.predictor(x_s)
+        loss_cls, loss_box = fast_rcnn_loss(
+            cls_logits, box_deltas, sampled_s,
+            cls_agnostic=self.post_cfg["cls_agnostic"])
+
+        losses = {
+            "loss_objectness": loss_obj,
+            "loss_rpn_box_reg": loss_rpn_box,
+            "loss_classifier": loss_cls,
+            "loss_box_reg": loss_box,
+        }
+
+        if self.mask_head is not None:
+            losses["loss_mask"] = mask_rcnn_loss(
+                self.mask_head, feats_s, sampled_s, targets_s,
+                shared_box_features=x_s)
+
+        new_state = da_state
+        if self.da_module is not None and mode != "source_only":
+            tgt_key = self.make_rng("sampling")
+            feats_t, _, _, _, props_t = self._rpn_and_proposals(
+                batch_t, targets_t, append_gt=False)
+            sampled_t, x_t = self._subsample_and_extract(
+                tgt_key, feats_t, props_t, targets_t, jnp.zeros((b,), bool))
+
+            # instance features of both domains for the DA instance head /
+            # consistency (cheap heads -> the 2k concat is fine)
+            da_ins_feas = jnp.concatenate([x_s, x_t], axis=0)
+            ins_valid = jnp.concatenate([sampled_s.valid, sampled_t.valid], axis=0)
+            dom_mask = jnp.concatenate(
+                [sampled_s.valid, jnp.zeros_like(sampled_t.valid)], axis=0)
+            det_feats = [jnp.concatenate([fs, ft], axis=0)
+                         for fs, ft in zip(feats_s, feats_t)]
+            is_source_det = jnp.concatenate(
+                [jnp.ones((b,), bool), jnp.zeros((b,), bool)])
+
+            img_fea_set = None
+            da_ins_set = None
+            if mode == "da_triplet":
+                feats_n = self.backbone(batch_n.images)
+                img_fea_set = (feats_s[0], feats_t[0], feats_n[0])
+                if aligned:
+                    # pool the positive slice's proposals from each domain's
+                    # features (reference generalized_rcnn.py:109-114),
+                    # independent subsample per pass
+                    da_ins_set = []
+                    for fd, tg, src in ((feats_s, targets_s, True),
+                                        (feats_t, targets_t, False),
+                                        (feats_n, targets_n, False)):
+                        d_key = self.make_rng("sampling")
+                        samp = subsample_proposals(
+                            d_key, props_t.boxes, props_t.valid, tg.boxes,
+                            tg.labels, tg.valid, jnp.full((b,), src),
+                            **self.sample_cfg)
+                        da_ins_set.append(self.feature_extractor(fd, samp.rois))
+                    da_ins_set = tuple(da_ins_set)
+
+            da_losses, new_state = self.da_module(
+                det_feats, da_ins_feas, dom_mask, ins_valid, da_ins_set,
+                img_fea_set, is_source_det, da_state, deterministic=False)
+            losses.update(da_losses)
+
+        return losses, new_state
+
+
+def build_detection_model(cfg):
+    """Reference modeling/detector/detectors.py:8-10 equivalent."""
+    from .backbone import build_backbone
+
+    dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+    backbone, spec = build_backbone(cfg)
+    extractor, _ = make_box_feature_extractor(cfg, dtype)
+    predictor = make_box_predictor(cfg, dtype)
+    da = make_da_heads(cfg, dtype) if cfg.MODEL.DOMAIN_ADAPTATION_ON else None
+    mask = make_mask_head(cfg, dtype) if cfg.MODEL.MASK_ON else None
+
+    gen = make_anchor_generator(cfg)
+    rpn = cfg.MODEL.RPN
+    roi = cfg.MODEL.ROI_HEADS
+    model = GeneralizedRCNN(
+        backbone=backbone,
+        feature_extractor=extractor,
+        predictor=predictor,
+        da_module=da,
+        mask_head=mask,
+        num_anchors=gen.num_anchors_per_location,
+        anchor_sizes=tuple(rpn.ANCHOR_SIZES),
+        aspect_ratios=tuple(rpn.ASPECT_RATIOS),
+        anchor_strides=tuple(rpn.ANCHOR_STRIDE),
+        straddle_thresh=rpn.STRADDLE_THRESH,
+        rpn_train=rpn_config(cfg, True),
+        rpn_test=rpn_config(cfg, False),
+        rpn_loss_cfg=dict(
+            fg_iou=rpn.FG_IOU_THRESHOLD, bg_iou=rpn.BG_IOU_THRESHOLD,
+            batch_per_image=rpn.BATCH_SIZE_PER_IMAGE,
+            positive_fraction=rpn.POSITIVE_FRACTION,
+            straddle_thresh=rpn.STRADDLE_THRESH),
+        sample_cfg=dict(
+            fg_iou=roi.FG_IOU_THRESHOLD, bg_iou=roi.BG_IOU_THRESHOLD,
+            batch_per_image=roi.BATCH_SIZE_PER_IMAGE,
+            positive_fraction=roi.POSITIVE_FRACTION,
+            reg_weights=tuple(roi.BBOX_REG_WEIGHTS)),
+        post_cfg=dict(
+            score_thresh=roi.SCORE_THRESH, nms_thresh=roi.NMS,
+            detections_per_img=roi.DETECTIONS_PER_IMG,
+            reg_weights=tuple(roi.BBOX_REG_WEIGHTS),
+            cls_agnostic=cfg.MODEL.CLS_AGNOSTIC_BBOX_REG),
+        dtype=dtype,
+    )
+    return model

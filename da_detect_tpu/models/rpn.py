@@ -1,0 +1,192 @@
+"""Region Proposal Network: head, fixed-shape proposal selection, loss.
+
+Re-design of reference modeling/rpn/{rpn.py, inference.py, loss.py}. All
+dynamic-shape stages (top-k -> NMS -> variable proposal counts -> GT append)
+become fixed-capacity arrays with validity masks (SURVEY §7.3 "hard parts").
+
+DA changes preserved:
+* GT proposals appended only for source-domain images
+  (reference rpn/inference.py:60-72)
+* RPN supervision masked to source images (reference rpn/loss.py:57-98);
+  instead of relying on "sources come first in the batch" ordering, the
+  ``is_source`` flag masks labels directly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import box_ops
+from ..ops.losses import bce_with_logits, smooth_l1_loss
+from ..ops.matcher import match_proposals
+from ..ops.nms import nms_topk
+from ..ops.sampler import balanced_sample
+
+_normal001 = nn.initializers.normal(0.01)
+
+
+class RPNHead(nn.Module):
+    """3x3 conv + twin 1x1 convs (reference rpn.py:14-46), shared across FPN
+    levels. Returns per-level (logits [B,H,W,A], deltas [B,H,W,A*4])."""
+
+    num_anchors: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: list[jnp.ndarray]):
+        conv = nn.Conv(features[0].shape[-1], (3, 3), padding=((1, 1), (1, 1)),
+                       kernel_init=_normal001, dtype=self.dtype, name="conv")
+        cls = nn.Conv(self.num_anchors, (1, 1), kernel_init=_normal001,
+                      dtype=self.dtype, name="cls_logits")
+        reg = nn.Conv(self.num_anchors * 4, (1, 1), kernel_init=_normal001,
+                      dtype=self.dtype, name="bbox_pred")
+        logits, deltas = [], []
+        for f in features:
+            t = nn.relu(conv(f.astype(self.dtype)))
+            logits.append(cls(t))
+            deltas.append(reg(t))
+        return logits, deltas
+
+
+class Proposals(NamedTuple):
+    boxes: jnp.ndarray    # [B, P, 4]
+    scores: jnp.ndarray   # [B, P] (sigmoid objectness; 1.0 for appended GT)
+    valid: jnp.ndarray    # [B, P]
+
+
+def _select_level(anchors, obj, deltas, image_size, pre_nms, post_nms,
+                  nms_thresh, min_size):
+    """One image, one level. anchors [N,4], obj [N] logits, deltas [N,4]."""
+    n = anchors.shape[0]
+    k1 = min(pre_nms, n)
+    scores = jax.nn.sigmoid(obj.astype(jnp.float32))
+    top_scores, top_idx = jax.lax.top_k(scores, k1)
+    boxes = box_ops.decode_boxes(deltas.astype(jnp.float32)[top_idx], anchors[top_idx])
+    boxes = box_ops.clip_boxes(boxes, image_size[0], image_size[1])
+    valid = box_ops.min_size_mask(boxes, float(min_size))
+    keep_idx, keep_valid = nms_topk(boxes, top_scores, valid, nms_thresh, post_nms)
+    return boxes[keep_idx], jnp.where(keep_valid, top_scores[keep_idx], 0.0), keep_valid
+
+
+def select_proposals(level_anchors, level_logits, level_deltas, image_sizes,
+                     *, pre_nms_top_n, post_nms_top_n, fpn_post_nms_top_n,
+                     nms_thresh, min_size, is_train):
+    """Batched proposal selection over all levels.
+
+    level_anchors: list of [N_l, 4]; level_logits: list of [B, H, W, A];
+    level_deltas: list of [B, H, W, A*4]. Returns Proposals with capacity
+    post_nms_top_n (single level) or fpn_post_nms_top_n (FPN).
+    """
+    batch = level_logits[0].shape[0]
+    per_level = []
+    for anchors_l, logits_l, deltas_l in zip(level_anchors, level_logits, level_deltas):
+        b = logits_l.shape[0]
+        a = logits_l.shape[-1]
+        obj = logits_l.reshape(b, -1)                       # [B, H*W*A]
+        dl = deltas_l.reshape(b, -1, a, 4).reshape(b, -1, 4)
+        sel = jax.vmap(
+            lambda o, d, sz: _select_level(anchors_l, o, d, sz, pre_nms_top_n,
+                                           post_nms_top_n, nms_thresh, min_size)
+        )(obj, dl, image_sizes)
+        per_level.append(Proposals(*sel))
+
+    if len(per_level) == 1:
+        return per_level[0]
+
+    boxes = jnp.concatenate([p.boxes for p in per_level], axis=1)
+    scores = jnp.concatenate([p.scores for p in per_level], axis=1)
+    valid = jnp.concatenate([p.valid for p in per_level], axis=1)
+    k = min(fpn_post_nms_top_n, boxes.shape[1])
+    masked = jnp.where(valid, scores, -jnp.inf)
+    if is_train:
+        # reference quirk kept: training selects top-k over the whole batch
+        # jointly (rpn/inference.py:154-173)
+        flat = masked.reshape(-1)
+        kb = min(fpn_post_nms_top_n * boxes.shape[0], flat.shape[0])
+        thresh = jax.lax.top_k(flat, kb)[0][-1]
+        sel_valid = valid & (masked >= thresh)
+        # compact each image's survivors into the front of a [B, k] buffer
+        order = jnp.argsort(-jnp.where(sel_valid, scores, -jnp.inf), axis=1,
+                            stable=True)[:, :k]
+        return Proposals(
+            boxes=jnp.take_along_axis(boxes, order[..., None], axis=1),
+            scores=jnp.take_along_axis(scores, order, axis=1),
+            valid=jnp.take_along_axis(sel_valid, order, axis=1))
+    top_scores, order = jax.lax.top_k(masked, k)
+    return Proposals(
+        boxes=jnp.take_along_axis(boxes, order[..., None], axis=1),
+        scores=jnp.where(jnp.isfinite(top_scores), top_scores, 0.0),
+        valid=jnp.isfinite(top_scores))
+
+
+def append_gt_proposals(proposals: Proposals, gt_boxes, gt_valid, is_source):
+    """Append GT boxes for source-domain images (reference
+    rpn/inference.py:51-74; objectness=1 for GT rows)."""
+    b, g = gt_valid.shape
+    gt_ok = gt_valid & is_source[:, None]
+    return Proposals(
+        boxes=jnp.concatenate([proposals.boxes, gt_boxes], axis=1),
+        scores=jnp.concatenate(
+            [proposals.scores, jnp.where(gt_ok, 1.0, 0.0)], axis=1),
+        valid=jnp.concatenate([proposals.valid, gt_ok], axis=1))
+
+
+def rpn_loss(key, anchors, objectness, deltas, gt_boxes, gt_valid, is_source,
+             image_sizes, *, fg_iou, bg_iou, batch_per_image, positive_fraction,
+             straddle_thresh):
+    """RPN losses (reference rpn/loss.py:101-169).
+
+    anchors [N, 4] (all levels concatenated); objectness [B, N] logits;
+    deltas [B, N, 4]; gt_* padded [B, G]; is_source [B].
+    Returns (loss_objectness, loss_rpn_box_reg).
+    """
+    objectness = objectness.astype(jnp.float32)
+    deltas = deltas.astype(jnp.float32)
+
+    def prepare(gt_b, gt_v, src, size):
+        iou = box_ops.box_iou(anchors, gt_b)                 # [N, G]
+        matches = match_proposals(iou, gt_v, fg_iou, bg_iou, True)
+        labels = jnp.where(matches >= 0, 1, jnp.where(matches == -1, 0, -1))
+        if straddle_thresh >= 0:
+            inside = ((anchors[:, 0] >= -straddle_thresh)
+                      & (anchors[:, 1] >= -straddle_thresh)
+                      & (anchors[:, 2] < size[1] + straddle_thresh)
+                      & (anchors[:, 3] < size[0] + straddle_thresh))
+            labels = jnp.where(inside, labels, -1)
+        # target-domain images contribute no RPN supervision
+        labels = jnp.where(src, labels, -1)
+        matched_gt = gt_b[jnp.clip(matches, 0)]
+        reg_targets = box_ops.encode_boxes(matched_gt, anchors)
+        return labels, reg_targets
+
+    labels, reg_targets = jax.vmap(prepare)(gt_boxes, gt_valid, is_source,
+                                            image_sizes)
+    pos_mask, neg_mask = balanced_sample(key, labels, batch_per_image,
+                                         positive_fraction)
+    sampled = pos_mask | neg_mask
+    n_sampled = jnp.maximum(jnp.sum(sampled), 1)
+
+    box_loss = smooth_l1_loss(deltas, reg_targets, beta=1.0 / 9,
+                              weights=pos_mask[..., None].astype(jnp.float32),
+                              reduction="sum") / n_sampled
+    obj_loss = bce_with_logits(objectness, (labels == 1).astype(jnp.float32),
+                               weights=sampled.astype(jnp.float32),
+                               reduction="mean")
+    return obj_loss, box_loss
+
+
+def rpn_config(cfg, is_train: bool) -> dict:
+    rpn = cfg.MODEL.RPN
+    return dict(
+        pre_nms_top_n=rpn.PRE_NMS_TOP_N_TRAIN if is_train else rpn.PRE_NMS_TOP_N_TEST,
+        post_nms_top_n=rpn.POST_NMS_TOP_N_TRAIN if is_train else rpn.POST_NMS_TOP_N_TEST,
+        fpn_post_nms_top_n=(rpn.FPN_POST_NMS_TOP_N_TRAIN if is_train
+                            else rpn.FPN_POST_NMS_TOP_N_TEST),
+        nms_thresh=rpn.NMS_THRESH,
+        min_size=rpn.MIN_SIZE,
+        is_train=is_train,
+    )

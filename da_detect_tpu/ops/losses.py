@@ -67,6 +67,22 @@ def sigmoid_focal_loss(logits: jnp.ndarray, targets: jnp.ndarray, gamma: float =
     return jnp.sum(term_pos + term_neg, axis=-1)
 
 
+def triplet_margin_loss(anchor: jnp.ndarray, positive: jnp.ndarray,
+                        negative: jnp.ndarray, margin, p: float = 2.0,
+                        axis: int = -1, eps: float = 1e-6) -> jnp.ndarray:
+    """torch.nn.TripletMarginLoss semantics: pairwise p-distance along
+    ``axis`` (torch reduces the last dim of NCHW inputs; callers pass the
+    matching axis for NHWC), hinge at ``margin``, mean over the rest.
+    The reference uses this for the domain-level metric regularization
+    (da_heads/loss.py:180-228)."""
+    def dist(x, y):
+        return jnp.sum(jnp.abs(x - y + eps) ** p, axis=axis) ** (1.0 / p)
+
+    d_ap = dist(anchor, positive)
+    d_an = dist(anchor, negative)
+    return jnp.mean(jnp.maximum(d_ap - d_an + margin, 0.0))
+
+
 def softmax_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
                           weights: jnp.ndarray | None = None) -> jnp.ndarray:
     """Mean CE over (optionally weighted/masked) rows; labels int [...]."""

@@ -104,5 +104,10 @@ def nms_topk(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
     keep = nms_mask(boxes, scores, valid, iou_threshold,
                     legacy_plus1=legacy_plus1, chunk=chunk)
     kept_scores = jnp.where(keep, scores, NEG_INF)
-    top_scores, idx = lax.top_k(kept_scores, k)
+    k_eff = min(k, kept_scores.shape[0])
+    top_scores, idx = lax.top_k(kept_scores, k_eff)
+    if k_eff < k:
+        idx = jnp.concatenate([idx, jnp.zeros(k - k_eff, idx.dtype)])
+        top_scores = jnp.concatenate(
+            [top_scores, jnp.full(k - k_eff, NEG_INF, top_scores.dtype)])
     return idx, top_scores > NEG_INF / 2

@@ -66,6 +66,13 @@ def selection_to_indices(pos_selected: jnp.ndarray, neg_selected: jnp.ndarray,
     prio = jnp.where(pos_selected, 2, jnp.where(neg_selected, 1, 0))
     order = jnp.argsort(-prio, axis=-1, stable=True)[..., :batch_size]
     sel = jnp.take_along_axis(prio, order, axis=-1)
+    if order.shape[-1] < batch_size:
+        # fewer proposals than the sampling budget: pad to the fixed size
+        pad = batch_size - order.shape[-1]
+        order = jnp.concatenate(
+            [order, jnp.zeros(order.shape[:-1] + (pad,), order.dtype)], axis=-1)
+        sel = jnp.concatenate(
+            [sel, jnp.zeros(sel.shape[:-1] + (pad,), sel.dtype)], axis=-1)
     valid = sel >= 1
     is_pos = sel == 2
     indices = jnp.where(valid, order, 0)

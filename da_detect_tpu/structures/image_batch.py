@@ -45,11 +45,19 @@ class ImageBatch:
 
 @struct.dataclass
 class Targets:
-    """Padded ground-truth boxes per image (capacity G = TPU.MAX_GT_BOXES)."""
+    """Padded ground-truth boxes per image (capacity G = TPU.MAX_GT_BOXES).
+
+    ``masks`` (optional, MASK_ON only): per-instance binary masks rasterized
+    into each GT box's own frame at a fixed resolution [B, G, M, M] — the
+    fixed-shape replacement for the reference's lazy polygon cropping
+    (structures/segmentation_mask.py); training projects them into proposal
+    frames with a bilinear affine resample (models/mask_head.py).
+    """
 
     boxes: jnp.ndarray   # [B, G, 4] float32 xyxy in the resized/padded frame
     labels: jnp.ndarray  # [B, G] int32 (1..C-1; 0 reserved for background)
     valid: jnp.ndarray   # [B, G] bool
+    masks: jnp.ndarray | None = None  # [B, G, M, M] float32 in gt-box frame
 
     @property
     def capacity(self) -> int:

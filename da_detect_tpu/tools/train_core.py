@@ -1,0 +1,96 @@
+"""Shared training driver used by the train_net* CLIs."""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+from ..data import make_data_loader, make_data_loader_da
+from ..engine.inference import inference
+from ..engine.trainer import create_train_state, do_train
+from ..models import build_detection_model
+from ..parallel import data_sharding, make_mesh, replicate
+from ..utils.checkpoint import Checkpointer
+
+
+def run_training(cfg, logger, *, mode: str, schedule_kind: str,
+                 skip_test: bool = False, use_tensorboard: bool = False,
+                 seed: int = 100):
+    mesh = make_mesh(cfg.TPU.MESH_DATA)
+    sharding = data_sharding(mesh)
+    model = build_detection_model(cfg)
+
+    if mode == "source_only":
+        loader, _ = make_data_loader(cfg, is_train=True, sharding=sharding,
+                                     with_masks=cfg.MODEL.MASK_ON, seed=seed)
+        data_iter = iter(loader)
+    else:
+        aligned = cfg.MODEL.DA_HEADS.ALIGNMENT
+        data_iter = iter(make_data_loader_da(cfg, aligned=aligned, seed=seed,
+                                             sharding=sharding))
+
+    sample = next(data_iter)
+    state, tx = create_train_state(cfg, model, jax.random.PRNGKey(seed),
+                                   sample, schedule_kind)
+
+    checkpointer = Checkpointer(cfg.MODEL.OUTPUT_DIR,
+                                save_to_disk=jax.process_index() == 0)
+    if checkpointer.has_checkpoint():
+        host_state = jax.device_get(state)
+        state, start_iter = checkpointer.resume(host_state)
+    else:
+        start_iter = 0
+        if cfg.MODEL.WEIGHT:
+            variables = {"params": jax.device_get(state.params),
+                         "frozen": jax.device_get(state.frozen)}
+            variables = Checkpointer.load_weight_file(cfg.MODEL.WEIGHT, variables)
+            state = state.replace(params=variables["params"],
+                                  frozen=variables["frozen"])
+            logger.info("loaded MODEL.WEIGHT %s", cfg.MODEL.WEIGHT)
+
+    state = replicate(state, mesh)
+
+    meters = None
+    if use_tensorboard:
+        from ..utils.metric_logger import TensorboardLogger
+        meters = TensorboardLogger(cfg.TENSORBOARD_EXPERIMENT,
+                                   start_iter=start_iter)
+
+    eval_fn = None
+    if cfg.MODEL.EVAL_USE_IN_TRAINING and cfg.DATASETS.TEST and not skip_test:
+        def eval_fn(st, iteration):
+            run_eval(cfg, logger, model, st, sharding)
+
+    def chained(it):
+        # the sample batch consumed for init is a real batch — train on it
+        yield sample
+        yield from it
+
+    state = do_train(
+        cfg, model, state, tx, chained(data_iter),
+        max_iter=cfg.SOLVER.MAX_ITER, start_iter=start_iter,
+        checkpointer=checkpointer,
+        checkpoint_period=cfg.SOLVER.CHECKPOINT_PERIOD, meters=meters,
+        aligned=(mode != "source_only" and cfg.MODEL.DA_HEADS.ALIGNMENT),
+        eval_fn=eval_fn)
+
+    if not skip_test and cfg.DATASETS.TEST:
+        run_eval(cfg, logger, model, state, sharding)
+    return state
+
+
+def run_eval(cfg, logger, model, state, sharding=None):
+    variables = {"params": state.params, "frozen": state.frozen}
+    results = {}
+    for name in cfg.DATASETS.TEST:
+        loader, dataset = make_data_loader(cfg, is_train=False,
+                                           dataset_names=(name,),
+                                           sharding=sharding)
+        logger.info("evaluating on %s (%d images)", name, len(dataset))
+        res, _ = inference(
+            model, variables, loader, dataset,
+            output_folder=cfg.MODEL.OUTPUT_DIR,
+            expected_results=cfg.TEST.EXPECTED_RESULTS,
+            expected_results_sigma_tol=cfg.TEST.EXPECTED_RESULTS_SIGMA_TOL)
+        results[name] = res
+    return results

@@ -1,0 +1,109 @@
+"""Checkpointing (reference utils/checkpoint.py DetectronCheckpointer).
+
+Orbax-backed: saves the full TrainState pytree (params, frozen stats,
+optimizer state, DA margin state, iteration) with a ``last_checkpoint``
+pointer file for reference-style discovery. Unlike the reference — which
+*disabled* auto-resume and optimizer/scheduler restore (checkpoint.py:52-73
+commented out; SURVEY §5.4) — resume here restores everything.
+
+``load_weight`` handles the reference's external formats: ``catalog://``
+identifiers, Detectron C2 ``.pkl`` ImageNet weights, and torch ``.pth``
+checkpoints, converted via utils.c2_loading.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from ..config.catalog import ModelCatalog
+from . import c2_loading
+
+log = logging.getLogger(__name__)
+
+
+class Checkpointer:
+    def __init__(self, output_dir: str, save_to_disk: bool = True,
+                 max_to_keep: int = 10):
+        self.output_dir = os.path.abspath(output_dir)
+        self.save_to_disk = save_to_disk
+        if save_to_disk:
+            os.makedirs(self.output_dir, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            os.path.join(self.output_dir, "ckpts"),
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+                                                 create=save_to_disk),
+        )
+
+    # -- train-state save/restore -----------------------------------------
+    def save(self, step: int, state) -> None:
+        if not self.save_to_disk:
+            return
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        self._mgr.wait_until_finished()
+        with open(os.path.join(self.output_dir, "last_checkpoint"), "w") as f:
+            f.write(str(step))
+
+    def has_checkpoint(self) -> bool:
+        return self._mgr.latest_step() is not None
+
+    def resume(self, state_template):
+        """Restore the latest checkpoint into the template's structure."""
+        step = self._mgr.latest_step()
+        if step is None:
+            return state_template, 0
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(state_template))
+        log.info("resumed from checkpoint at iteration %d", step)
+        return restored, step
+
+    def resume_model(self, template=None):
+        """Restore only the model variables (params + frozen) from the latest
+        full TrainState checkpoint (used by test_net)."""
+        step = self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self.output_dir}")
+        raw = self._mgr.restore(step)
+        get = (lambda o, k: o[k] if isinstance(o, dict) else getattr(o, k))
+        return {"params": get(raw, "params"), "frozen": get(raw, "frozen")}, step
+
+    # -- external weights --------------------------------------------------
+    @staticmethod
+    def load_weight_file(path: str, variables: dict) -> dict:
+        """Load reference-format weights into a flax variables dict
+        ({"params": ..., "frozen": ...}); returns the updated dict."""
+        if path.startswith("catalog://"):
+            path = ModelCatalog.get(path)
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"weight file not found: {path} (zero-egress environment: "
+                "place pretrained weights under $DA_DETECT_WEIGHTS_DIR)")
+        params = jax.tree_util.tree_map(np.asarray, dict(variables["params"]))
+        frozen = jax.tree_util.tree_map(np.asarray, dict(variables.get("frozen", {})))
+        if path.endswith(".pkl"):
+            blobs = c2_loading.load_c2_pickle(path)
+            c4 = "feature_extractor" in params and "head" in params.get(
+                "feature_extractor", {})
+            p_src, f_src = c2_loading.c2_resnet_to_flax(blobs, c4_head=c4)
+            unmatched = []
+        else:
+            import torch
+            ckpt = torch.load(path, map_location="cpu", weights_only=False)
+            state = ckpt.get("model", ckpt)
+            state = {k: v.numpy() if hasattr(v, "numpy") else v
+                     for k, v in state.items()}
+            p_src, f_src, unmatched = c2_loading.torch_to_flax(state)
+        applied = c2_loading.merge_into(params, p_src)
+        applied += c2_loading.merge_into(frozen, f_src)
+        log.info("loaded %d tensors from %s", len(applied), path)
+        if unmatched:
+            log.info("unmatched checkpoint keys (first 10): %s", unmatched[:10])
+        out = dict(variables)
+        out["params"] = params
+        out["frozen"] = frozen
+        return out

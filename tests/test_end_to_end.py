@@ -1,0 +1,103 @@
+"""End-to-end slice: triplet DA training on a synthetic aligned triple +
+COCO-style eval — the quick-schedule integration tier (SURVEY §4)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+import tests.data_factory as factory
+from da_detect_tpu.config import get_cfg
+from da_detect_tpu.data import make_data_loader, make_data_loader_da
+from da_detect_tpu.engine.inference import inference
+from da_detect_tpu.engine.trainer import create_train_state, do_train
+from da_detect_tpu.models import build_detection_model
+
+
+@pytest.fixture(scope="module")
+def tiny_data(tmp_path_factory):
+    root = tmp_path_factory.mktemp("tiny_coco")
+    dirs = factory.make_triplet_datasets(str(root))
+    factory.register_tiny_catalog(dirs)
+    return dirs
+
+
+def tiny_train_cfg():
+    cfg = get_cfg()
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.IMAGE_SHAPE = (128, 160)
+    cfg.TPU.MAX_GT_BOXES = 10
+    cfg.MODEL.DOMAIN_ADAPTATION_ON = True
+    cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES = 3
+    cfg.MODEL.RPN.PRE_NMS_TOP_N_TRAIN = 200
+    cfg.MODEL.RPN.POST_NMS_TOP_N_TRAIN = 64
+    cfg.MODEL.RPN.PRE_NMS_TOP_N_TEST = 200
+    cfg.MODEL.RPN.POST_NMS_TOP_N_TEST = 64
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 32
+    cfg.INPUT.MIN_SIZE_TRAIN = (120,)
+    cfg.INPUT.MAX_SIZE_TRAIN = 160
+    cfg.INPUT.MIN_SIZE_TEST = 120
+    cfg.INPUT.MAX_SIZE_TEST = 160
+    cfg.DATASETS.SOURCE_TRAIN = ("tiny_clean_cocostyle",)
+    cfg.DATASETS.TARGET_TRAIN = ("tiny_foggy_cocostyle",)
+    cfg.DATASETS.TARGET_TRAIN_negative = ("tiny_rainy_cocostyle",)
+    cfg.DATASETS.TEST = ("tiny_foggy_cocostyle",)
+    cfg.SOLVER.IMS_PER_BATCH = 2
+    cfg.SOLVER.MAX_ITER = 3
+    cfg.SOLVER.BASE_LR = 0.001
+    cfg.TEST.IMS_PER_BATCH = 2
+    cfg.TEST.DETECTIONS_PER_IMG = 10
+    return cfg
+
+
+def test_triplet_train_and_eval(tiny_data, tmp_path):
+    cfg = tiny_train_cfg()
+    model = build_detection_model(cfg)
+    loader = make_data_loader_da(cfg, aligned=True, seed=0)
+    it = iter(loader)
+    sample = next(it)
+    assert len(sample) == 6  # 3 domains x (batch, targets)
+    state, tx = create_train_state(cfg, model, jax.random.PRNGKey(0), sample,
+                                   "cosine")
+
+    def chained():
+        yield sample
+        yield from it
+
+    state = do_train(cfg, model, state, tx, chained(),
+                     max_iter=cfg.SOLVER.MAX_ITER, log_period=1)
+    assert int(state.step) == cfg.SOLVER.MAX_ITER
+    loader.close()
+
+    # eval path end-to-end incl. the from-scratch COCO evaluator
+    test_loader, dataset = make_data_loader(
+        cfg, is_train=False, dataset_names=cfg.DATASETS.TEST)
+    variables = {"params": state.params, "frozen": state.frozen}
+    results, predictions = inference(model, variables, test_loader, dataset,
+                                     output_folder=str(tmp_path))
+    assert "bbox" in results
+    assert 0.0 <= results["bbox"]["AP50"] <= 1.0 or results["bbox"]["AP50"] == -1.0
+    assert os.path.exists(tmp_path / "coco_results.json")
+    assert len(predictions) == len(dataset)
+
+
+def test_source_only_loader_and_train(tiny_data):
+    cfg = tiny_train_cfg()
+    cfg.MODEL.DOMAIN_ADAPTATION_ON = False
+    cfg.DATASETS.TRAIN = ("tiny_clean_cocostyle",)
+    cfg.SOLVER.MAX_ITER = 2
+    model = build_detection_model(cfg)
+    loader, _ = make_data_loader(cfg, is_train=True, seed=0)
+    it = iter(loader)
+    sample = next(it)
+    state, tx = create_train_state(cfg, model, jax.random.PRNGKey(0), sample,
+                                   "multistep")
+
+    def chained():
+        yield sample
+        yield from it
+
+    state = do_train(cfg, model, state, tx, chained(), max_iter=2, log_period=1)
+    assert int(state.step) == 2
+    loader.close()

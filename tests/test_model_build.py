@@ -1,0 +1,161 @@
+"""Config-driven model build + forward smoke tests (the reference's
+tests/test_detectors.py strategy: build from yaml, run tiny random forward
+on CPU — SURVEY §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from da_detect_tpu.config import get_cfg
+from da_detect_tpu.models import DAState, build_detection_model
+from da_detect_tpu.structures.image_batch import ImageBatch, Targets
+
+
+def tiny_cfg(**overrides):
+    cfg = get_cfg()
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES = 9
+    cfg.MODEL.RPN.PRE_NMS_TOP_N_TRAIN = 200
+    cfg.MODEL.RPN.POST_NMS_TOP_N_TRAIN = 64
+    cfg.MODEL.RPN.PRE_NMS_TOP_N_TEST = 100
+    cfg.MODEL.RPN.POST_NMS_TOP_N_TEST = 32
+    cfg.MODEL.RPN.FPN_POST_NMS_TOP_N_TRAIN = 64
+    cfg.MODEL.RPN.FPN_POST_NMS_TOP_N_TEST = 32
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 16
+    cfg.TEST.DETECTIONS_PER_IMG = 8
+    for k, v in overrides.items():
+        cfg.merge_from_list([k, v])
+    return cfg
+
+
+def fpn_cfg(cfg):
+    cfg.MODEL.RPN.USE_FPN = True
+    cfg.MODEL.RPN.ANCHOR_STRIDE = (4, 8, 16, 32, 64)
+    cfg.MODEL.ROI_HEADS.USE_FPN = True
+    cfg.MODEL.ROI_BOX_HEAD.FEATURE_EXTRACTOR = "FPN2MLPFeatureExtractor"
+    cfg.MODEL.ROI_BOX_HEAD.PREDICTOR = "FPNPredictor"
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 7
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_SCALES = (0.25, 0.125, 0.0625, 0.03125)
+    cfg.MODEL.BACKBONE.OUT_CHANNELS = 256
+    return cfg
+
+
+def make_batch(b, h=128, w=160, g=5, seed=0, is_source=True):
+    rng = np.random.RandomState(seed)
+    images = jnp.asarray(rng.randn(b, h, w, 3).astype(np.float32))
+    sizes = jnp.asarray(np.tile([[h - 8, w - 12]], (b, 1)).astype(np.int32))
+    x1 = rng.uniform(0, w - 30, (b, g)); y1 = rng.uniform(0, h - 30, (b, g))
+    boxes = np.stack([x1, y1, x1 + rng.uniform(8, 25, (b, g)),
+                      y1 + rng.uniform(8, 25, (b, g))], -1)
+    batch = ImageBatch(images=images, sizes=sizes, orig_sizes=sizes,
+                       is_source=jnp.full((b,), is_source))
+    targets = Targets(boxes=jnp.asarray(boxes.astype(np.float32)),
+                      labels=jnp.asarray(rng.randint(1, 9, (b, g))),
+                      valid=jnp.asarray(rng.rand(b, g) > 0.2))
+    return batch, targets
+
+
+TRAIN_RNGS = {"params": jax.random.PRNGKey(0),
+              "sampling": jax.random.PRNGKey(1),
+              "dropout": jax.random.PRNGKey(2)}
+APPLY_RNGS = {"sampling": jax.random.PRNGKey(3),
+              "dropout": jax.random.PRNGKey(4)}
+
+
+@pytest.mark.parametrize("body", ["R-50-C4", "R-50-FPN"])
+def test_eval_forward(body):
+    cfg = tiny_cfg()
+    cfg.MODEL.BACKBONE.CONV_BODY = body
+    if body.endswith("FPN"):
+        fpn_cfg(cfg)
+    model = build_detection_model(cfg)
+    batch, _ = make_batch(2)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch)
+    dets = model.apply(variables, batch)
+    assert dets.boxes.shape[0] == 2
+    assert np.all(np.isfinite(np.asarray(dets.boxes)))
+    assert np.asarray(dets.scores).max() <= 1.0
+
+
+def test_train_forward_source_only():
+    cfg = tiny_cfg()
+    model = build_detection_model(cfg)
+    batch, targets = make_batch(2)
+    da_state = DAState.create()
+    variables = model.init(TRAIN_RNGS, batch, targets, da_state,
+                           method=model.train_forward)
+    losses, _ = model.apply(variables, batch, targets, da_state,
+                            method=model.train_forward, rngs=APPLY_RNGS)
+    for k in ["loss_objectness", "loss_rpn_box_reg", "loss_classifier",
+              "loss_box_reg"]:
+        assert np.isfinite(float(losses[k])), (k, losses[k])
+    assert "loss_da_image" not in losses
+
+
+def test_train_forward_da_triplet():
+    cfg = tiny_cfg()
+    cfg.MODEL.DOMAIN_ADAPTATION_ON = True
+    cfg.MODEL.DA_HEADS.DA_CST_LOSS_WEIGHT = 0.1
+    cfg.MODEL.DA_HEADS.DA_TRIPLET_INS_WEIGHT = 1.0
+    model = build_detection_model(cfg)
+    bs, ts = make_batch(1, seed=0, is_source=True)
+    bt, tt = make_batch(1, seed=1, is_source=False)
+    bn, tn = make_batch(1, seed=2, is_source=False)
+    da_state = DAState.create()
+    variables = model.init(TRAIN_RNGS, bs, ts, da_state, bt, tt, bn, tn,
+                           aligned=True, method=model.train_forward)
+    losses, new_state = model.apply(
+        variables, bs, ts, da_state, bt, tt, bn, tn, aligned=True,
+        method=model.train_forward, rngs=APPLY_RNGS)
+    expected = {"loss_objectness", "loss_rpn_box_reg", "loss_classifier",
+                "loss_box_reg", "loss_da_image", "loss_da_instance",
+                "loss_da_consistency", "triplet_loss_image",
+                "triplet_loss_instance"}
+    assert expected <= set(losses), sorted(losses)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, v)
+    assert np.isfinite(float(new_state.last_triplet_img))
+
+
+def test_train_forward_da_two_domain():
+    cfg = tiny_cfg()
+    cfg.MODEL.DOMAIN_ADAPTATION_ON = True
+    cfg.MODEL.DA_HEADS.TRIPLET_USE = False
+    model = build_detection_model(cfg)
+    bs, ts = make_batch(2, seed=0, is_source=True)
+    bt, tt = make_batch(2, seed=1, is_source=False)
+    da_state = DAState.create()
+    variables = model.init(TRAIN_RNGS, bs, ts, da_state, bt, tt,
+                           method=model.train_forward)
+    losses, _ = model.apply(variables, bs, ts, da_state, bt, tt,
+                            method=model.train_forward, rngs=APPLY_RNGS)
+    assert "loss_da_image" in losses and "loss_da_instance" in losses
+    assert "triplet_loss_image" not in losses
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, v)
+
+
+def test_train_gradients_flow():
+    cfg = tiny_cfg()
+    cfg.MODEL.DOMAIN_ADAPTATION_ON = True
+    model = build_detection_model(cfg)
+    bs, ts = make_batch(1, seed=0, is_source=True)
+    bt, tt = make_batch(1, seed=1, is_source=False)
+    bn, tn = make_batch(1, seed=2, is_source=False)
+    da_state = DAState.create()
+    variables = model.init(TRAIN_RNGS, bs, ts, da_state, bt, tt, bn, tn,
+                           method=model.train_forward)
+
+    def loss_fn(params):
+        losses, _ = model.apply(
+            {"params": params, "frozen": variables["frozen"]}, bs, ts,
+            da_state, bt, tt, bn, tn, method=model.train_forward,
+            rngs=APPLY_RNGS)
+        return sum(jnp.asarray(v) for v in losses.values())
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
+    total = sum(float(jnp.sum(jnp.abs(g))) for g in flat)
+    assert total > 0
