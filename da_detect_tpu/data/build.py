@@ -157,13 +157,17 @@ class _Prefetcher:
 def make_data_loader(cfg, *, is_train: bool, dataset_names=None,
                      is_source: bool = True, with_masks: bool = False,
                      shuffle: bool | None = None, seed: int = 0,
-                     infinite: bool | None = None, sharding=None):
+                     infinite: bool | None = None, sharding=None,
+                     hflip: bool = False):
     """Single-domain loader. Train: yields (ImageBatch, Targets);
-    eval: yields (ImageBatch, image_ids)."""
+    eval: yields (ImageBatch, image_ids). ``hflip`` forces a deterministic
+    flip on every image (the TTA flip pass)."""
     if dataset_names is None:
         dataset_names = cfg.DATASETS.TRAIN if is_train else cfg.DATASETS.TEST
     dataset = build_dataset(dataset_names, is_train, is_source)
     proc = _SampleProcessor(cfg, is_train, with_masks)
+    if hflip:
+        proc.flip_prob = 1.0
     batch_size = (cfg.SOLVER.IMS_PER_BATCH if is_train
                   else cfg.TEST.IMS_PER_BATCH)
     shuffle = is_train if shuffle is None else shuffle

@@ -38,6 +38,7 @@ from .box_head import (Detections, fast_rcnn_loss, make_box_feature_extractor,
                        make_box_predictor, postprocess_detections,
                        subsample_proposals)
 from .da import DAState, make_da_heads
+from .keypoint_head import keypoint_rcnn_loss, make_keypoint_head
 from .mask_head import make_mask_head, mask_rcnn_loss
 from .rpn import (RPNHead, append_gt_proposals, rpn_config, rpn_loss,
                   select_proposals)
@@ -45,10 +46,12 @@ from .rpn import (RPNHead, append_gt_proposals, rpn_config, rpn_loss,
 
 class GeneralizedRCNN(nn.Module):
     backbone: nn.Module
-    feature_extractor: nn.Module
-    predictor: nn.Module
+    feature_extractor: Optional[nn.Module]
+    predictor: Optional[nn.Module]
     da_module: Optional[nn.Module]
     mask_head: Optional[nn.Module]
+    keypoint_head: Optional[nn.Module]
+    rpn_only: bool
     num_anchors: int
     anchor_sizes: tuple
     aspect_ratios: tuple
@@ -80,6 +83,11 @@ class GeneralizedRCNN(nn.Module):
         props = select_proposals(anchors, logits, deltas,
                                  batch.sizes.astype(jnp.float32),
                                  **self.rpn_test)
+        if self.rpn_only:
+            # proposals-as-detections (reference RPN_ONLY eval path)
+            return Detections(boxes=props.boxes, scores=props.scores,
+                              labels=jnp.where(props.valid, 1, 0),
+                              valid=props.valid)
         x = self.feature_extractor(feats, props.boxes)
         cls_logits, box_deltas = self.predictor(x)
         return postprocess_detections(cls_logits, box_deltas, props.boxes,
@@ -144,6 +152,10 @@ class GeneralizedRCNN(nn.Module):
             targets_s.valid, jnp.ones((b,), bool),
             batch_s.sizes.astype(jnp.float32), **self.rpn_loss_cfg)
 
+        if self.rpn_only:
+            return {"loss_objectness": loss_obj,
+                    "loss_rpn_box_reg": loss_rpn_box}, da_state
+
         sampled_s, x_s = self._subsample_and_extract(
             sub_key, feats_s, props_s, targets_s, jnp.ones((b,), bool))
         cls_logits, box_deltas = self.predictor(x_s)
@@ -162,6 +174,10 @@ class GeneralizedRCNN(nn.Module):
             losses["loss_mask"] = mask_rcnn_loss(
                 self.mask_head, feats_s, sampled_s, targets_s,
                 shared_box_features=x_s)
+        if self.keypoint_head is not None and targets_s.keypoints is not None:
+            losses["loss_kp"] = keypoint_rcnn_loss(
+                self.keypoint_head, feats_s, sampled_s, targets_s.keypoints,
+                targets_s)
 
         new_state = da_state
         if self.da_module is not None and mode != "source_only":
@@ -212,15 +228,24 @@ class GeneralizedRCNN(nn.Module):
 
 
 def build_detection_model(cfg):
-    """Reference modeling/detector/detectors.py:8-10 equivalent."""
+    """Reference modeling/detector/detectors.py:8-10 equivalent; also
+    dispatches the RetinaNet and RPN-only meta-architectures."""
     from .backbone import build_backbone
+
+    if cfg.MODEL.RETINANET_ON:
+        from .retinanet import build_retinanet
+        return build_retinanet(cfg)
 
     dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
     backbone, spec = build_backbone(cfg)
-    extractor, _ = make_box_feature_extractor(cfg, dtype)
-    predictor = make_box_predictor(cfg, dtype)
+    if cfg.MODEL.RPN_ONLY:
+        extractor, predictor = None, None
+    else:
+        extractor, _ = make_box_feature_extractor(cfg, dtype)
+        predictor = make_box_predictor(cfg, dtype)
     da = make_da_heads(cfg, dtype) if cfg.MODEL.DOMAIN_ADAPTATION_ON else None
     mask = make_mask_head(cfg, dtype) if cfg.MODEL.MASK_ON else None
+    kp = make_keypoint_head(cfg, dtype) if cfg.MODEL.KEYPOINT_ON else None
 
     gen = make_anchor_generator(cfg)
     rpn = cfg.MODEL.RPN
@@ -231,6 +256,8 @@ def build_detection_model(cfg):
         predictor=predictor,
         da_module=da,
         mask_head=mask,
+        keypoint_head=kp,
+        rpn_only=cfg.MODEL.RPN_ONLY,
         num_anchors=gen.num_anchors_per_location,
         anchor_sizes=tuple(rpn.ANCHOR_SIZES),
         aspect_ratios=tuple(rpn.ASPECT_RATIOS),

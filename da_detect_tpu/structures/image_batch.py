@@ -58,6 +58,7 @@ class Targets:
     labels: jnp.ndarray  # [B, G] int32 (1..C-1; 0 reserved for background)
     valid: jnp.ndarray   # [B, G] bool
     masks: jnp.ndarray | None = None  # [B, G, M, M] float32 in gt-box frame
+    keypoints: jnp.ndarray | None = None  # [B, G, K, 3] (x, y, visibility)
 
     @property
     def capacity(self) -> int:
@@ -65,8 +66,17 @@ class Targets:
 
     def concat(self, *others: "Targets") -> "Targets":
         ts = (self, *others)
+
+        def opt(field):
+            vals = [getattr(t, field) for t in ts]
+            if any(v is None for v in vals):
+                return None
+            return jnp.concatenate(vals, axis=0)
+
         return Targets(
             boxes=jnp.concatenate([t.boxes for t in ts], axis=0),
             labels=jnp.concatenate([t.labels for t in ts], axis=0),
             valid=jnp.concatenate([t.valid for t in ts], axis=0),
+            masks=opt("masks"),
+            keypoints=opt("keypoints"),
         )

@@ -83,14 +83,23 @@ def run_eval(cfg, logger, model, state, sharding=None):
     variables = {"params": state.params, "frozen": state.frozen}
     results = {}
     for name in cfg.DATASETS.TEST:
-        loader, dataset = make_data_loader(cfg, is_train=False,
-                                           dataset_names=(name,),
-                                           sharding=sharding)
-        logger.info("evaluating on %s (%d images)", name, len(dataset))
-        res, _ = inference(
-            model, variables, loader, dataset,
-            output_folder=cfg.MODEL.OUTPUT_DIR,
-            expected_results=cfg.TEST.EXPECTED_RESULTS,
-            expected_results_sigma_tol=cfg.TEST.EXPECTED_RESULTS_SIGMA_TOL)
+        if cfg.TEST.BBOX_AUG.ENABLED:
+            from ..data.evaluation import evaluate
+            from ..engine.bbox_aug import compute_on_dataset_aug
+            logger.info("evaluating on %s with bbox TTA", name)
+            predictions, dataset = compute_on_dataset_aug(
+                model, variables, cfg, name, sharding)
+            res = evaluate(dataset, predictions,
+                           output_folder=cfg.MODEL.OUTPUT_DIR)
+        else:
+            loader, dataset = make_data_loader(cfg, is_train=False,
+                                               dataset_names=(name,),
+                                               sharding=sharding)
+            logger.info("evaluating on %s (%d images)", name, len(dataset))
+            res, _ = inference(
+                model, variables, loader, dataset,
+                output_folder=cfg.MODEL.OUTPUT_DIR,
+                expected_results=cfg.TEST.EXPECTED_RESULTS,
+                expected_results_sigma_tol=cfg.TEST.EXPECTED_RESULTS_SIGMA_TOL)
         results[name] = res
     return results

@@ -82,6 +82,30 @@ def test_triplet_train_and_eval(tiny_data, tmp_path):
     assert len(predictions) == len(dataset)
 
 
+def test_tta_eval(tiny_data, tmp_path):
+    """TTA path: multi-scale + flip merge feeding the evaluator (the feature
+    the reference left unwired)."""
+    import jax.numpy as jnp
+    from da_detect_tpu.engine.bbox_aug import compute_on_dataset_aug
+    from da_detect_tpu.data.evaluation import evaluate
+
+    cfg = tiny_train_cfg()
+    cfg.TEST.BBOX_AUG.ENABLED = True
+    cfg.TEST.BBOX_AUG.H_FLIP = True
+    cfg.TEST.BBOX_AUG.SCALES = (100,)
+    cfg.TEST.BBOX_AUG.MAX_SIZE = 140
+    model = build_detection_model(cfg)
+    loader, _ = make_data_loader(cfg, is_train=False,
+                                 dataset_names=cfg.DATASETS.TEST)
+    batch, _ = next(iter(loader))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch)
+    predictions, dataset = compute_on_dataset_aug(model, variables, cfg,
+                                                  cfg.DATASETS.TEST[0])
+    assert len(predictions) == len(dataset)
+    res = evaluate(dataset, predictions, output_folder=str(tmp_path))
+    assert "bbox" in res
+
+
 def test_source_only_loader_and_train(tiny_data):
     cfg = tiny_train_cfg()
     cfg.MODEL.DOMAIN_ADAPTATION_ON = False

@@ -41,7 +41,7 @@ def fpn_cfg(cfg):
     return cfg
 
 
-def make_batch(b, h=128, w=160, g=5, seed=0, is_source=True):
+def make_batch(b, h=128, w=160, g=5, seed=0, is_source=True, num_classes=9):
     rng = np.random.RandomState(seed)
     images = jnp.asarray(rng.randn(b, h, w, 3).astype(np.float32))
     sizes = jnp.asarray(np.tile([[h - 8, w - 12]], (b, 1)).astype(np.int32))
@@ -51,7 +51,7 @@ def make_batch(b, h=128, w=160, g=5, seed=0, is_source=True):
     batch = ImageBatch(images=images, sizes=sizes, orig_sizes=sizes,
                        is_source=jnp.full((b,), is_source))
     targets = Targets(boxes=jnp.asarray(boxes.astype(np.float32)),
-                      labels=jnp.asarray(rng.randint(1, 9, (b, g))),
+                      labels=jnp.asarray(rng.randint(1, num_classes, (b, g))),
                       valid=jnp.asarray(rng.rand(b, g) > 0.2))
     return batch, targets
 

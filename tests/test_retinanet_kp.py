@@ -1,0 +1,86 @@
+"""RetinaNet + keypoint/mask head build-and-forward smoke tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from da_detect_tpu.config import get_cfg
+from da_detect_tpu.models import DAState, build_detection_model
+from tests.test_model_build import make_batch, TRAIN_RNGS, APPLY_RNGS
+
+
+def retinanet_cfg():
+    cfg = get_cfg()
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.MODEL.RETINANET_ON = True
+    cfg.MODEL.BACKBONE.CONV_BODY = "R-50-FPN-RETINANET"
+    cfg.MODEL.BACKBONE.OUT_CHANNELS = 256
+    cfg.MODEL.RETINANET.NUM_CLASSES = 5
+    cfg.MODEL.RETINANET.PRE_NMS_TOP_N = 100
+    cfg.TEST.DETECTIONS_PER_IMG = 10
+    return cfg
+
+
+def test_retinanet_eval_and_train():
+    cfg = retinanet_cfg()
+    model = build_detection_model(cfg)
+    batch, targets = make_batch(2, h=128, w=160, num_classes=5)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch)
+    dets = model.apply(variables, batch)
+    assert dets.boxes.shape[0] == 2
+    assert np.all(np.isfinite(np.asarray(dets.boxes)))
+
+    losses, _ = model.apply(variables, batch, targets, DAState.create(),
+                            method=model.train_forward, rngs=APPLY_RNGS)
+    for k in ("loss_retina_cls", "loss_retina_reg"):
+        assert np.isfinite(float(losses[k])), (k, losses[k])
+    # prior-prob init => early cls loss should be small-ish, not huge
+    assert float(losses["loss_retina_cls"]) < 5.0
+
+
+def test_mask_and_keypoint_heads_train():
+    from da_detect_tpu.structures.image_batch import Targets
+    cfg = get_cfg()
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.MODEL.MASK_ON = True
+    cfg.MODEL.KEYPOINT_ON = True
+    cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES = 5
+    cfg.MODEL.RPN.PRE_NMS_TOP_N_TRAIN = 100
+    cfg.MODEL.RPN.POST_NMS_TOP_N_TRAIN = 32
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 16
+    model = build_detection_model(cfg)
+    batch, targets = make_batch(1, h=128, w=160, num_classes=5)
+    rng = np.random.RandomState(0)
+    g = targets.boxes.shape[1]
+    masks = jnp.asarray((rng.rand(1, g, 28, 28) > 0.5).astype(np.float32))
+    ctr = (targets.boxes[..., :2] + targets.boxes[..., 2:]) / 2
+    kps = jnp.concatenate(
+        [jnp.tile(ctr[:, :, None, :], (1, 1, 17, 1)),
+         jnp.ones((1, g, 17, 1))], axis=-1)
+    targets = Targets(boxes=targets.boxes, labels=targets.labels,
+                      valid=targets.valid, masks=masks, keypoints=kps)
+    variables = model.init(TRAIN_RNGS, batch, targets, DAState.create(),
+                           method=model.train_forward)
+    losses, _ = model.apply(variables, batch, targets, DAState.create(),
+                            method=model.train_forward, rngs=APPLY_RNGS)
+    assert "loss_mask" in losses and "loss_kp" in losses
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, v)
+
+
+def test_rpn_only():
+    cfg = get_cfg()
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.MODEL.RPN_ONLY = True
+    cfg.MODEL.RPN.PRE_NMS_TOP_N_TEST = 100
+    cfg.MODEL.RPN.POST_NMS_TOP_N_TEST = 32
+    cfg.MODEL.RPN.PRE_NMS_TOP_N_TRAIN = 100
+    cfg.MODEL.RPN.POST_NMS_TOP_N_TRAIN = 32
+    model = build_detection_model(cfg)
+    batch, targets = make_batch(1, h=128, w=160)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch)
+    dets = model.apply(variables, batch)
+    assert dets.boxes.shape[1] == 32
+    losses, _ = model.apply(variables, batch, targets, DAState.create(),
+                            method=model.train_forward, rngs=APPLY_RNGS)
+    assert set(losses) == {"loss_objectness", "loss_rpn_box_reg"}
