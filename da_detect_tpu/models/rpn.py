@@ -59,7 +59,7 @@ class Proposals(NamedTuple):
 
 
 def _select_level(anchors, obj, deltas, image_size, pre_nms, post_nms,
-                  nms_thresh, min_size):
+                  nms_thresh, min_size, use_pallas=False):
     """One image, one level. anchors [N,4], obj [N] logits, deltas [N,4]."""
     n = anchors.shape[0]
     k1 = min(pre_nms, n)
@@ -68,13 +68,19 @@ def _select_level(anchors, obj, deltas, image_size, pre_nms, post_nms,
     boxes = box_ops.decode_boxes(deltas.astype(jnp.float32)[top_idx], anchors[top_idx])
     boxes = box_ops.clip_boxes(boxes, image_size[0], image_size[1])
     valid = box_ops.min_size_mask(boxes, float(min_size))
-    keep_idx, keep_valid = nms_topk(boxes, top_scores, valid, nms_thresh, post_nms)
+    if use_pallas and jax.default_backend() == "tpu":
+        from ..ops.nms_pallas import nms_topk_pallas
+        keep_idx, keep_valid = nms_topk_pallas(boxes, top_scores, valid,
+                                               nms_thresh, post_nms)
+    else:
+        keep_idx, keep_valid = nms_topk(boxes, top_scores, valid, nms_thresh,
+                                        post_nms)
     return boxes[keep_idx], jnp.where(keep_valid, top_scores[keep_idx], 0.0), keep_valid
 
 
 def select_proposals(level_anchors, level_logits, level_deltas, image_sizes,
                      *, pre_nms_top_n, post_nms_top_n, fpn_post_nms_top_n,
-                     nms_thresh, min_size, is_train):
+                     nms_thresh, min_size, is_train, use_pallas=False):
     """Batched proposal selection over all levels.
 
     level_anchors: list of [N_l, 4]; level_logits: list of [B, H, W, A];
@@ -90,7 +96,8 @@ def select_proposals(level_anchors, level_logits, level_deltas, image_sizes,
         dl = deltas_l.reshape(b, -1, a, 4).reshape(b, -1, 4)
         sel = jax.vmap(
             lambda o, d, sz: _select_level(anchors_l, o, d, sz, pre_nms_top_n,
-                                           post_nms_top_n, nms_thresh, min_size)
+                                           post_nms_top_n, nms_thresh, min_size,
+                                           use_pallas)
         )(obj, dl, image_sizes)
         per_level.append(Proposals(*sel))
 
@@ -189,4 +196,5 @@ def rpn_config(cfg, is_train: bool) -> dict:
         nms_thresh=rpn.NMS_THRESH,
         min_size=rpn.MIN_SIZE,
         is_train=is_train,
+        use_pallas=cfg.TPU.USE_PALLAS,
     )
