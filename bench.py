@@ -21,6 +21,8 @@ BASELINE_IMG_PER_SEC = 2.48
 
 def main():
     import jax
+    from da_detect_tpu.utils.env import setup_environment
+    setup_environment()
     from __graft_entry__ import _batch, _flagship_cfg
     from da_detect_tpu.engine.trainer import create_train_state, make_train_step
     from da_detect_tpu.models import build_detection_model

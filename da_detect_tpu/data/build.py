@@ -76,6 +76,7 @@ class _SampleProcessor:
 
     def __call__(self, sample, params, canvas_hw):
         img = load_image_bgr(sample["path"])
+        orig_boxes = sample["boxes"]
         img, boxes, (rh, rw) = apply_geometry(
             img, sample["boxes"], min_size=params["min_size"],
             max_size=self.max_size, hflip=params["hflip"])
@@ -95,13 +96,17 @@ class _SampleProcessor:
                    is_source=bool(sample["is_source"]),
                    image_id=sample["image_id"])
         if self.with_masks:
+            # rasterize in the ORIGINAL gt-box frame (polygon coords are
+            # original-image; box-frame masks are scale-invariant), then
+            # mirror for the flip
             masks = np.zeros((g, self.mask_resolution, self.mask_resolution),
                              np.float32)
             for i in range(n):
                 segs = sample["segmentations"][i]
                 if segs and isinstance(segs, list):
-                    masks[i] = rasterize_polygons(segs, pb[i],
-                                                  self.mask_resolution)
+                    m = rasterize_polygons(segs, orig_boxes[i],
+                                           self.mask_resolution)
+                    masks[i] = m[:, ::-1] if params["hflip"] else m
             out["masks"] = masks
         return out
 

@@ -36,6 +36,41 @@ AREA_RNGS = OrderedDict([
 MAX_DETS = (1, 10, 100)
 
 
+def _segm_iou(dts, gts, iscrowd):
+    """Mask IoU, computed exactly on the union rect of each pair (masks are
+    zero outside their boxes, so the crop IoU equals the full-frame IoU)."""
+    from ..masker import paste_masks
+
+    ious = np.zeros((len(dts), len(gts)))
+    for j, g in enumerate(gts):
+        gm = g.get("_mask")
+        if gm is None:
+            continue
+        gy, gx = g["_mask_offset"]
+        for i, d in enumerate(dts):
+            dm = d.get("_mask")
+            if dm is None:
+                continue
+            dy, dx = d["_mask_offset"]
+            y1 = min(gy, dy)
+            x1 = min(gx, dx)
+            y2 = max(gy + gm.shape[0], dy + dm.shape[0])
+            x2 = max(gx + gm.shape[1], dx + dm.shape[1])
+            canvas_g = np.zeros((y2 - y1, x2 - x1), bool)
+            canvas_d = np.zeros_like(canvas_g)
+            canvas_g[gy - y1: gy - y1 + gm.shape[0],
+                     gx - x1: gx - x1 + gm.shape[1]] = gm
+            canvas_d[dy - y1: dy - y1 + dm.shape[0],
+                     dx - x1: dx - x1 + dm.shape[1]] = dm
+            inter = np.logical_and(canvas_g, canvas_d).sum()
+            if iscrowd[j]:
+                denom = canvas_d.sum()
+            else:
+                denom = np.logical_or(canvas_g, canvas_d).sum()
+            ious[i, j] = inter / max(denom, 1)
+    return ious
+
+
 def _bbox_iou_xywh(dt: np.ndarray, gt: np.ndarray, iscrowd: np.ndarray):
     """pycocotools iou semantics on xywh boxes; crowd gt -> inter/area_dt."""
     ious = np.zeros((len(dt), len(gt)))
@@ -57,7 +92,7 @@ def _bbox_iou_xywh(dt: np.ndarray, gt: np.ndarray, iscrowd: np.ndarray):
     return ious
 
 
-def _evaluate_img(dts, gts, area_rng, max_det):
+def _evaluate_img(dts, gts, area_rng, max_det, iou_type="bbox"):
     """Match one (image, category): returns per-threshold dt matches/ignores
     + gt ignore mask, or None when empty."""
     if len(dts) == 0 and len(gts) == 0:
@@ -74,10 +109,13 @@ def _evaluate_img(dts, gts, area_rng, max_det):
     d_order = np.argsort([-d["score"] for d in dts], kind="stable")[:max_det]
     dts = [dts[i] for i in d_order]
 
-    ious = _bbox_iou_xywh(
-        np.asarray([d["bbox"] for d in dts], np.float64).reshape(-1, 4),
-        np.asarray([g["bbox"] for g in gts], np.float64).reshape(-1, 4),
-        iscrowd)
+    if iou_type == "segm":
+        ious = _segm_iou(dts, gts, iscrowd)
+    else:
+        ious = _bbox_iou_xywh(
+            np.asarray([d["bbox"] for d in dts], np.float64).reshape(-1, 4),
+            np.asarray([g["bbox"] for g in gts], np.float64).reshape(-1, 4),
+            iscrowd)
 
     nt, nd, ng = len(IOU_THRS), len(dts), len(gts)
     dtm = -np.ones((nt, nd), np.int64)
@@ -149,13 +187,16 @@ def _accumulate(per_img_results):
 
 
 class CocoEvaluator:
-    """Evaluate predictions {image_id: dict(boxes xyxy, scores, labels)}
-    against a COCODataset."""
+    """Evaluate predictions {image_id: dict(boxes xyxy, scores, labels
+    [, mask_probs])} against a COCODataset. iou_type "bbox" or "segm"."""
 
-    def __init__(self, dataset):
+    def __init__(self, dataset, iou_type: str = "bbox"):
         self.dataset = dataset
+        self.iou_type = iou_type
         self.cat_ids = sorted(dataset.contiguous_category_id_to_json_id.values())
         self.cont_for_json = dataset.json_category_id_to_contiguous_id
+        self._img_hw = {im["id"]: (im["height"], im["width"])
+                        for im in dataset.images}
 
     def _gts_for(self, img_id, cat_id):
         out = []
@@ -163,10 +204,17 @@ class CocoEvaluator:
             if a["category_id"] != cat_id:
                 continue
             area = a.get("area", a["bbox"][2] * a["bbox"][3])
-            out.append(dict(bbox=a["bbox"], area=area,
-                            iscrowd=bool(a.get("iscrowd", 0)),
-                            _ignore=bool(a.get("iscrowd", 0))
-                            or bool(a.get("ignore", 0))))
+            g = dict(bbox=a["bbox"], area=area,
+                     iscrowd=bool(a.get("iscrowd", 0)),
+                     _ignore=bool(a.get("iscrowd", 0))
+                     or bool(a.get("ignore", 0)))
+            if self.iou_type == "segm":
+                from ..masker import rasterize_polygons_crop
+                seg = a.get("segmentation")
+                if isinstance(seg, list):
+                    g["_mask"], g["_mask_offset"] = rasterize_polygons_crop(
+                        seg, self._img_hw[img_id])
+            out.append(g)
         return out
 
     def evaluate(self, predictions: dict):
@@ -176,13 +224,19 @@ class CocoEvaluator:
         for img_id in img_ids:
             p = predictions[img_id]
             boxes = np.asarray(p["boxes"], np.float64).reshape(-1, 4)
-            for b, s, l in zip(boxes, p["scores"], p["labels"]):
+            mask_probs = p.get("mask_probs")
+            for di, (b, s, l) in enumerate(zip(boxes, p["scores"], p["labels"])):
                 json_cat = self.dataset.contiguous_category_id_to_json_id.get(
                     int(l))
                 if json_cat is None:
                     continue
                 xywh = [b[0], b[1], b[2] - b[0] + 1.0, b[3] - b[1] + 1.0]
-                dts[(img_id, json_cat)].append(dict(bbox=xywh, score=float(s)))
+                d = dict(bbox=xywh, score=float(s))
+                if self.iou_type == "segm" and mask_probs is not None:
+                    from ..masker import paste_single_crop
+                    d["_mask"], d["_mask_offset"] = paste_single_crop(
+                        np.asarray(mask_probs[di]), b, self._img_hw[img_id])
+                dts[(img_id, json_cat)].append(d)
 
         # stats[cat][area][maxdet] = (precision, recall)
         per_cat = {}
@@ -191,7 +245,8 @@ class CocoEvaluator:
             for aname, arng in AREA_RNGS.items():
                 for md in MAX_DETS:
                     imgs = [_evaluate_img(dts[(i, c)], self._gts_for(i, c),
-                                          arng, md) for i in img_ids]
+                                          arng, md, self.iou_type)
+                            for i in img_ids]
                     per_area[(aname, md)] = _accumulate(imgs)
             per_cat[c] = per_area
         self._per_cat = per_cat
@@ -240,14 +295,17 @@ class CocoEvaluator:
 
 def do_coco_evaluation(dataset, predictions, output_folder=None,
                        iou_types=("bbox",)):
-    evaluator = CocoEvaluator(dataset)
-    res, per_cat = evaluator.evaluate(predictions)
-    log.info("COCO bbox results: %s",
-             "  ".join(f"{k}={v:.4f}" for k, v in res.items()))
-    for name, r in per_cat.items():
-        log.info("  %-16s AP=%.4f AP50=%.4f", name, r["AP"], r["AP50"])
+    results = {}
+    for iou_type in iou_types:
+        evaluator = CocoEvaluator(dataset, iou_type)
+        res, per_cat = evaluator.evaluate(predictions)
+        log.info("COCO %s results: %s", iou_type,
+                 "  ".join(f"{k}={v:.4f}" for k, v in res.items()))
+        for name, r in per_cat.items():
+            log.info("  %-16s AP=%.4f AP50=%.4f", name, r["AP"], r["AP50"])
+        results[iou_type] = dict(res, per_category=per_cat)
     if output_folder:
         os.makedirs(output_folder, exist_ok=True)
         with open(os.path.join(output_folder, "coco_results.json"), "w") as f:
-            json.dump(dict(metrics=res, per_category=per_cat), f, indent=2)
-    return {"bbox": dict(res, per_category=per_cat)}
+            json.dump(results, f, indent=2, default=float)
+    return results

@@ -20,15 +20,18 @@ import numpy as np
 log = logging.getLogger(__name__)
 
 
-def compute_on_dataset(model, variables, data_loader, progress_every: int = 50):
-    """Returns {image_id: dict(boxes, scores, labels)} in *original* image
-    coordinates (xyxy)."""
-    eval_step = jax.jit(lambda v, b: model.apply(v, b))
+def compute_on_dataset(model, variables, data_loader, progress_every: int = 50,
+                       with_masks: bool = False):
+    """Returns {image_id: dict(boxes, scores, labels[, mask_probs])} in
+    *original* image coordinates (xyxy)."""
+    eval_step = jax.jit(lambda v, b: model.apply(v, b, with_masks=True)
+                        if with_masks else model.apply(v, b))
     predictions: dict[int, Any] = {}
     t0 = time.perf_counter()
     n_images = 0
     for bi, (batch, image_ids) in enumerate(data_loader):
-        dets = jax.device_get(eval_step(variables, batch))
+        out = jax.device_get(eval_step(variables, batch))
+        dets, mask_probs = out if with_masks else (out, None)
         sizes = np.asarray(jax.device_get(batch.sizes))
         orig = np.asarray(jax.device_get(batch.orig_sizes))
         for i, img_id in enumerate(image_ids):
@@ -45,6 +48,8 @@ def compute_on_dataset(model, variables, data_loader, progress_every: int = 50):
                 scores=dets.scores[i][valid],
                 labels=dets.labels[i][valid],
             )
+            if mask_probs is not None:
+                predictions[img_id]["mask_probs"] = mask_probs[i][valid]
             n_images += 1
         if progress_every and (bi + 1) % progress_every == 0:
             dt = time.perf_counter() - t0
@@ -59,8 +64,13 @@ def inference(model, variables, data_loader, dataset, *, iou_types=("bbox",),
               output_folder: str | None = None, expected_results=None,
               expected_results_sigma_tol: float = 4.0):
     """Full eval: predictions + dataset-specific evaluation
-    (reference inference.py:76-129)."""
-    predictions = compute_on_dataset(model, variables, data_loader)
+    (reference inference.py:76-129). Multi-host: every process evaluates its
+    loader shard; predictions are merged across processes."""
+    predictions = compute_on_dataset(model, variables, data_loader,
+                                     with_masks="segm" in iou_types)
+    from ..utils import comm
+    if comm.get_world_size() > 1:
+        predictions = comm.accumulate_predictions(predictions)
     from ..data.evaluation import evaluate
     results = evaluate(dataset, predictions, output_folder=output_folder,
                        iou_types=iou_types)

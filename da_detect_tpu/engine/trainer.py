@@ -103,16 +103,26 @@ def make_train_step(model, tx, *, aligned: bool = False,
 def do_train(cfg, model, state, tx, data_iter, *, max_iter: int,
              start_iter: int = 0, checkpointer=None, checkpoint_period: int = 2500,
              meters: Optional[MetricLogger] = None, aligned: bool = False,
-             eval_fn: Callable | None = None, log_period: int = 20):
+             eval_fn: Callable | None = None, log_period: int = 20,
+             profile_dir: str | None = None,
+             profile_range: tuple[int, int] = (10, 20)):
     """Host-side loop (reference do_da_train trainer.py:150-336): batches in,
     metrics/checkpoints/eval out. ``data_iter`` yields tuples matching
-    train_forward's signature (already device-sharded)."""
+    train_forward's signature (already device-sharded). ``profile_dir``
+    captures a jax.profiler trace over ``profile_range`` iterations
+    (the reference has only wall-clock meters — SURVEY §5.1)."""
     meters = meters or MetricLogger()
     train_step = make_train_step(model, tx, aligned=aligned)
     log.info("start training at iteration %d", start_iter)
     start = time.perf_counter()
     last = start
     for iteration in range(start_iter, max_iter):
+        if profile_dir is not None and iteration == profile_range[0]:
+            jax.profiler.start_trace(profile_dir)
+            log.info("profiler trace started -> %s", profile_dir)
+        if profile_dir is not None and iteration == profile_range[1]:
+            jax.profiler.stop_trace()
+            log.info("profiler trace stopped")
         batch_args = next(data_iter)
         data_time = time.perf_counter() - last
         state, metrics = train_step(state, *batch_args)

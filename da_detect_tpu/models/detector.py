@@ -78,7 +78,7 @@ class GeneralizedRCNN(nn.Module):
         return feats, logits, deltas, anchors
 
     # -- inference ---------------------------------------------------------
-    def __call__(self, batch: ImageBatch) -> Detections:
+    def __call__(self, batch: ImageBatch, with_masks: bool = False):
         feats, logits, deltas, anchors = self._features_and_rpn(batch.images)
         props = select_proposals(anchors, logits, deltas,
                                  batch.sizes.astype(jnp.float32),
@@ -90,10 +90,23 @@ class GeneralizedRCNN(nn.Module):
                               valid=props.valid)
         x = self.feature_extractor(feats, props.boxes)
         cls_logits, box_deltas = self.predictor(x)
-        return postprocess_detections(cls_logits, box_deltas, props.boxes,
+        dets = postprocess_detections(cls_logits, box_deltas, props.boxes,
                                       props.valid,
                                       batch.sizes.astype(jnp.float32),
                                       **self.post_cfg)
+        if with_masks and self.mask_head is not None:
+            # second pass over the final detections (reference mask_head eval
+            # path runs the mask head on the box head's results)
+            shared = (self.feature_extractor(feats, dets.boxes)
+                      if self.mask_head.extractor is None else None)
+            mask_logits = self.mask_head(feats, dets.boxes, shared)
+            # per-detection GT-class channel, sigmoid probs [B, D, Hm, Wm]
+            probs = jax.nn.sigmoid(jnp.take_along_axis(
+                mask_logits.astype(jnp.float32),
+                dets.labels[:, :, None, None, None].clip(0),
+                axis=-1)[..., 0])
+            return dets, probs
+        return dets
 
     # -- training ----------------------------------------------------------
     def _rpn_and_proposals(self, batch, targets, append_gt: bool):

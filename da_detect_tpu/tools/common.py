@@ -19,6 +19,8 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--config-file", default="", metavar="FILE")
     p.add_argument("--skip-test", action="store_true")
     p.add_argument("--use-tensorboard", action="store_true")
+    p.add_argument("--profile", default="",
+                   help="directory to write a jax.profiler trace of iterations 10-20")
     p.add_argument("--seed", type=int, default=100)  # reference setup_seed(100)
     p.add_argument("opts", nargs=argparse.REMAINDER, default=None)
     return p
@@ -26,6 +28,8 @@ def base_parser(description: str) -> argparse.ArgumentParser:
 
 def setup(args, logger_name: str):
     """cfg merge + multi-host init + logging. Returns (cfg, logger)."""
+    from ..utils.env import setup_environment
+    setup_environment()
     # multi-host rendezvous (replaces torch.distributed NCCL env init,
     # reference train_net_triplet.py:301-309)
     if "JAX_COORDINATOR_ADDRESS" in os.environ or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ:

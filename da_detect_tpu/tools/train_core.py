@@ -15,7 +15,7 @@ from ..utils.checkpoint import Checkpointer
 
 def run_training(cfg, logger, *, mode: str, schedule_kind: str,
                  skip_test: bool = False, use_tensorboard: bool = False,
-                 seed: int = 100):
+                 seed: int = 100, profile_dir: str | None = None):
     mesh = make_mesh(cfg.TPU.MESH_DATA)
     sharding = data_sharding(mesh)
     model = build_detection_model(cfg)
@@ -72,7 +72,7 @@ def run_training(cfg, logger, *, mode: str, schedule_kind: str,
         checkpointer=checkpointer,
         checkpoint_period=cfg.SOLVER.CHECKPOINT_PERIOD, meters=meters,
         aligned=(mode != "source_only" and cfg.MODEL.DA_HEADS.ALIGNMENT),
-        eval_fn=eval_fn)
+        eval_fn=eval_fn, profile_dir=profile_dir or None)
 
     if not skip_test and cfg.DATASETS.TEST:
         run_eval(cfg, logger, model, state, sharding)
@@ -96,8 +96,9 @@ def run_eval(cfg, logger, model, state, sharding=None):
                                                dataset_names=(name,),
                                                sharding=sharding)
             logger.info("evaluating on %s (%d images)", name, len(dataset))
+            iou_types = ("bbox", "segm") if cfg.MODEL.MASK_ON else ("bbox",)
             res, _ = inference(
-                model, variables, loader, dataset,
+                model, variables, loader, dataset, iou_types=iou_types,
                 output_folder=cfg.MODEL.OUTPUT_DIR,
                 expected_results=cfg.TEST.EXPECTED_RESULTS,
                 expected_results_sigma_tol=cfg.TEST.EXPECTED_RESULTS_SIGMA_TOL)

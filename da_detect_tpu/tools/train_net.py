@@ -13,7 +13,7 @@ def main(argv=None):
     mode = "da" if cfg.MODEL.DOMAIN_ADAPTATION_ON else "source_only"
     run_training(cfg, logger, mode=mode, schedule_kind="multistep",
                  skip_test=args.skip_test, use_tensorboard=args.use_tensorboard,
-                 seed=args.seed)
+                 seed=args.seed, profile_dir=args.profile)
 
 
 if __name__ == "__main__":

@@ -16,7 +16,7 @@ def main(argv=None):
     cfg, logger = setup(args, "da_detect_tpu.train_img")
     run_training(cfg, logger, mode="da", schedule_kind="multistep",
                  skip_test=args.skip_test, use_tensorboard=args.use_tensorboard,
-                 seed=args.seed)
+                 seed=args.seed, profile_dir=args.profile)
 
 
 if __name__ == "__main__":

@@ -19,7 +19,7 @@ def main(argv=None):
     logger.info("cosine annealing is chosen for lr scheduler")
     run_training(cfg, logger, mode=mode, schedule_kind="cosine",
                  skip_test=args.skip_test, use_tensorboard=args.use_tensorboard,
-                 seed=args.seed)
+                 seed=args.seed, profile_dir=args.profile)
 
 
 if __name__ == "__main__":

@@ -125,3 +125,37 @@ def test_source_only_loader_and_train(tiny_data):
     state = do_train(cfg, model, state, tx, chained(), max_iter=2, log_period=1)
     assert int(state.step) == 2
     loader.close()
+
+
+def test_mask_rcnn_train_and_segm_eval(tiny_data, tmp_path):
+    """MASK_ON end to end: polygon rasterization in the loader, mask loss in
+    the step, mask inference + segm COCO evaluation."""
+    cfg = tiny_train_cfg()
+    cfg.MODEL.DOMAIN_ADAPTATION_ON = False
+    cfg.MODEL.MASK_ON = True
+    cfg.DATASETS.TRAIN = ("tiny_clean_cocostyle",)
+    cfg.SOLVER.MAX_ITER = 2
+    model = build_detection_model(cfg)
+    loader, _ = make_data_loader(cfg, is_train=True, seed=0, with_masks=True)
+    it = iter(loader)
+    sample = next(it)
+    assert sample[1].masks is not None
+    state, tx = create_train_state(cfg, model, jax.random.PRNGKey(0), sample,
+                                   "multistep")
+
+    def chained():
+        yield sample
+        yield from it
+
+    state = do_train(cfg, model, state, tx, chained(), max_iter=2, log_period=1)
+    loader.close()
+
+    test_loader, dataset = make_data_loader(
+        cfg, is_train=False, dataset_names=cfg.DATASETS.TEST)
+    variables = {"params": state.params, "frozen": state.frozen}
+    results, predictions = inference(model, variables, test_loader, dataset,
+                                     iou_types=("bbox", "segm"),
+                                     output_folder=str(tmp_path))
+    assert "segm" in results
+    some = next(iter(predictions.values()))
+    assert "mask_probs" in some
