@@ -47,13 +47,15 @@ def _pair_iou(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2, off):
 
 
 def _nms_kernel(boxes_ref, valid_ref, thresh_ref, keep_ref, sup_ref):
+    # 1D state rides as [1, N]: under vmap the batched block spec must equal
+    # the array's trailing dims for Mosaic to lower it
     n = boxes_ref.shape[1]
     n_chunks = n // CHUNK
     thresh = thresh_ref[0, 0]
     off = 1.0
 
-    sup_ref[:] = jnp.zeros((n,), jnp.float32)
-    keep_ref[:] = jnp.zeros((n,), jnp.float32)
+    sup_ref[:] = jnp.zeros((1, n), jnp.float32)
+    keep_ref[:] = jnp.zeros((1, n), jnp.float32)
 
     row = lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
     col = lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
@@ -67,7 +69,7 @@ def _nms_kernel(boxes_ref, valid_ref, thresh_ref, keep_ref, sup_ref):
     def chunk_body(ci, _):
         c0 = pl.multiple_of(ci * CHUNK, CHUNK)
         ax1, ay1, ax2, ay2 = coords(c0)
-        v = valid_ref[pl.ds(c0, CHUNK)] * (1.0 - sup_ref[pl.ds(c0, CHUNK)])
+        v = valid_ref[0, pl.ds(c0, CHUNK)] * (1.0 - sup_ref[0, pl.ds(c0, CHUNK)])
 
         iou_cc = _pair_iou(ax1, ay1, ax2, ay2, ax1, ay1, ax2, ay2, off)
         s = tri * (iou_cc > thresh).astype(jnp.float32)
@@ -85,7 +87,7 @@ def _nms_kernel(boxes_ref, valid_ref, thresh_ref, keep_ref, sup_ref):
 
         keep_c, _, _ = lax.while_loop(cond, body,
                                       (v, jnp.bool_(True), jnp.int32(0)))
-        keep_ref[pl.ds(c0, CHUNK)] = keep_c
+        keep_ref[0, pl.ds(c0, CHUNK)] = keep_c
 
         def tile_body(ti, _):
             # only tiles strictly after this chunk need suppression updates
@@ -95,8 +97,8 @@ def _nms_kernel(boxes_ref, valid_ref, thresh_ref, keep_ref, sup_ref):
             hit = jnp.max(
                 keep_c[:, None] * (iou_ct > thresh).astype(jnp.float32),
                 axis=0)
-            sup_ref[pl.ds(t0, CHUNK)] = jnp.maximum(sup_ref[pl.ds(t0, CHUNK)],
-                                                    hit)
+            sup_ref[0, pl.ds(t0, CHUNK)] = jnp.maximum(
+                sup_ref[0, pl.ds(t0, CHUNK)], hit)
             return 0
 
         lax.fori_loop(0, n_chunks - ci - 1, tile_body, 0)
@@ -117,20 +119,20 @@ def nms_mask_pallas_sorted(boxes_sorted: jnp.ndarray, valid_sorted: jnp.ndarray,
     n_pad = -(-n // CHUNK) * CHUNK
     bt = jnp.zeros((4, n_pad), jnp.float32).at[:, :n].set(
         boxes_sorted.astype(jnp.float32).T)
-    v = jnp.zeros((n_pad,), jnp.float32).at[:n].set(
+    v = jnp.zeros((1, n_pad), jnp.float32).at[0, :n].set(
         valid_sorted.astype(jnp.float32))
     thresh = jnp.asarray([[iou_threshold]], jnp.float32)
     keep = pl.pallas_call(
         _nms_kernel,
-        out_shape=jax.ShapeDtypeStruct((n_pad,), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((n_pad,), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((1, n_pad), jnp.float32)],
         interpret=INTERPRET,
     )(bt, v, thresh)
-    return keep[:n] > 0.5
+    return keep[0, :n] > 0.5
 
 
 def nms_topk_pallas(boxes, scores, valid, iou_threshold, k):
