@@ -207,9 +207,16 @@ def make_data_loader(cfg, *, is_train: bool, dataset_names=None,
                     break
                 epoch += 1
             else:
-                for i in range(0, len(order), batch_size):
-                    chunk = [int(x) for x in order[i:i + batch_size]]
-                    yield from _emit(chunk, None, pad_to=batch_size)
+                # eval also buckets by orientation: a batch must share one
+                # canvas (portrait canvases are the transposed bucket)
+                by_orient = {True: [], False: []}
+                for idx in order:
+                    info = dataset.get_img_info(int(idx))
+                    by_orient[info["height"] > info["width"]].append(int(idx))
+                for lst in by_orient.values():
+                    for i in range(0, len(lst), batch_size):
+                        yield from _emit(lst[i:i + batch_size], None,
+                                         pad_to=batch_size)
                 break
 
     def _emit(indices, portrait, pad_to=None):

@@ -88,6 +88,9 @@ def build_backbone(cfg) -> tuple[nn.Module, BackboneSpec]:
     if body.startswith("FBNet"):
         from .fbnet import build_fbnet_backbone
         return build_fbnet_backbone(cfg)
+    if body.startswith("V"):  # VGG-16 (original DA-Faster backbone)
+        from .vgg import build_vgg_backbone
+        return build_vgg_backbone(cfg)
     if body not in BACKBONES:
         raise KeyError(f"unknown CONV_BODY: {body}")
     depth, stages, with_fpn, top_block = BACKBONES[body]

@@ -12,9 +12,11 @@ suppression sweep in one launch:
       fixpoint of keep = valid & ~(keep @ S))
       suppress all later boxes with [C, C]-tile IoU sweeps (VPU)
 
-Mosaic layout notes: boxes ride as [4, N] so per-coordinate loads are lane
-vectors; all slice starts are multiples of 1024 (hinted with
-pl.multiple_of) to satisfy the vector-load alignment prover.
+Mosaic layout notes: boxes ride as [4, N] and 1D state as [1, N] so that
+per-coordinate loads are lane vectors and vmapped block specs equal the
+trailing array dims; slice starts carry pl.multiple_of hints for the
+alignment prover; CHUNK is sized so the [C, C] suppression temporaries fit
+VMEM even when vmap batches several images into one kernel launch.
 
 Semantics are identical to ops.nms.nms_mask (greedy, IoU > thresh, legacy +1
 widths); the caller pre-sorts by score.
@@ -30,7 +32,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CHUNK = 1024
+CHUNK = 512  # [C,C] temporaries must fit VMEM alongside the batched inputs
 
 
 def _pair_iou(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2, off):

@@ -1,0 +1,87 @@
+"""Loader behaviors: orientation bucketing (train + eval), padding of the
+last eval batch, shared triplet geometry."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+try:
+    import cv2
+except Exception:
+    cv2 = None
+
+from da_detect_tpu.config import get_cfg
+from da_detect_tpu.data import make_data_loader
+from da_detect_tpu.data.datasets import COCODataset
+
+
+@pytest.fixture(scope="module")
+def mixed_orientation_data(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mixed")
+    img_dir = root / "imgs"
+    img_dir.mkdir()
+    images, annotations = [], []
+    sizes = [(80, 120), (120, 80), (80, 120), (120, 80), (80, 120)]
+    for i, (h, w) in enumerate(sizes):
+        img = np.full((h, w, 3), 30, np.uint8)
+        img[10:40, 10:40] = (200, 50, 50)
+        cv2.imwrite(str(img_dir / f"im_{i}.png"), img)
+        images.append({"id": i + 1, "file_name": f"im_{i}.png",
+                       "height": h, "width": w})
+        annotations.append({"id": i + 1, "image_id": i + 1, "category_id": 1,
+                            "bbox": [10, 10, 30, 30], "area": 900,
+                            "iscrowd": 0, "segmentation": []})
+    ann = root / "ann.json"
+    ann.write_text(json.dumps({
+        "images": images, "annotations": annotations,
+        "categories": [{"id": 1, "name": "thing"}]}))
+    (root / "catalog.json").write_text(json.dumps({
+        "mixed_cocostyle": {"img_dir": "imgs", "ann_file": "ann.json"}}))
+    os.environ["DA_DETECT_DATA_DIR"] = str(root)
+    return str(root)
+
+
+def _cfg():
+    cfg = get_cfg()
+    cfg.TPU.IMAGE_SHAPE = (0, 0)
+    cfg.TPU.MAX_GT_BOXES = 5
+    cfg.INPUT.MIN_SIZE_TRAIN = (60,)
+    cfg.INPUT.MAX_SIZE_TRAIN = 96
+    cfg.INPUT.MIN_SIZE_TEST = 60
+    cfg.INPUT.MAX_SIZE_TEST = 96
+    cfg.DATALOADER.SIZE_DIVISIBILITY = 32
+    cfg.TEST.IMS_PER_BATCH = 2
+    cfg.SOLVER.IMS_PER_BATCH = 2
+    return cfg
+
+
+def test_eval_batches_are_orientation_pure(mixed_orientation_data):
+    cfg = _cfg()
+    loader, dataset = make_data_loader(cfg, is_train=False,
+                                       dataset_names=("mixed_cocostyle",))
+    seen_ids = []
+    shapes = set()
+    for batch, ids in loader:
+        shapes.add(batch.images.shape[1:3])
+        seen_ids += [i for i in ids if i is not None]
+    # every image evaluated exactly once despite mixed orientations
+    assert sorted(seen_ids) == [1, 2, 3, 4, 5]
+    # two canvas shapes, transposes of each other
+    assert len(shapes) == 2
+    (a, b) = sorted(shapes)
+    assert a == tuple(reversed(b))
+
+
+def test_train_batches_are_orientation_pure(mixed_orientation_data):
+    cfg = _cfg()
+    loader, _ = make_data_loader(cfg, is_train=True,
+                                 dataset_names=("mixed_cocostyle",), seed=0)
+    it = iter(loader)
+    for _ in range(6):
+        batch, targets = next(it)
+        h, w = batch.images.shape[1:3]
+        assert (h, w) in ((64, 96), (96, 64))
+        assert batch.images.shape[0] == 2
+    loader.close()

@@ -54,6 +54,19 @@ def test_deep_backbones_build():
         assert variables["params"]
 
 
+def test_vgg_backbone():
+    cfg = get_cfg()
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.MODEL.BACKBONE.CONV_BODY = "VGG-16"
+    module, spec = build_backbone(cfg)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 64, 64, 3)
+                    .astype(np.float32))
+    variables = module.init(jax.random.PRNGKey(0), x)
+    feats = module.apply(variables, x)
+    assert feats[0].shape == (1, 4, 4, 512)
+    assert spec.strides == (16,)
+
+
 def test_fbnet_backbone():
     cfg = get_cfg()
     cfg.TPU.COMPUTE_DTYPE = "float32"
