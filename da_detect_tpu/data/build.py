@@ -128,35 +128,60 @@ def _stack(processed, with_masks):
 
 
 class _Prefetcher:
-    """Background-thread batch producer (replaces DataLoader workers)."""
+    """Background-thread batch producer (replaces DataLoader workers).
+
+    Done-flag protocol (no in-band sentinel: a full queue at generator end
+    would drop it); bounded puts so close() can always stop the producer and
+    release the queued device buffers.
+    """
 
     def __init__(self, gen_fn, depth: int = 2):
         self.q: queue.Queue = queue.Queue(maxsize=depth)
         self._stop = False
+        self._done = False
 
         def run():
             try:
                 for item in gen_fn():
-                    if self._stop:
-                        break
-                    self.q.put(item)
+                    if not self._put(item):
+                        return
             finally:
-                self.q.put(StopIteration)
+                self._done = True
 
         self.t = threading.Thread(target=run, daemon=True)
         self.t.start()
+
+    def _put(self, item) -> bool:
+        while not self._stop:
+            try:
+                self.q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def __iter__(self):
         return self
 
     def __next__(self):
-        item = self.q.get()
-        if item is StopIteration:
-            raise StopIteration
-        return item
+        while True:
+            try:
+                return self.q.get(timeout=0.2)
+            except queue.Empty:
+                if self._done and self.q.empty():
+                    raise StopIteration
+                if self._stop:
+                    raise StopIteration
 
     def close(self):
+        """Stop the producer and release queued (device) buffers."""
         self._stop = True
+        while True:
+            try:
+                self.q.get_nowait()
+            except queue.Empty:
+                break
+        self.t.join(timeout=2.0)
 
 
 def make_data_loader(cfg, *, is_train: bool, dataset_names=None,

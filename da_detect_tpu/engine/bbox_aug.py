@@ -81,11 +81,11 @@ def compute_on_dataset_aug(model, variables, cfg, dataset_name: str,
         log.info("TTA pass: min_size=%s max_size=%s hflip=%s",
                  min_size, max_size, hflip)
         preds = compute_on_dataset(model, variables, loader, progress_every=0)
+        widths = {im["id"]: im["width"] for im in dataset.images}
         for img_id, p in preds.items():
             boxes = np.asarray(p["boxes"], np.float32)
             if hflip and len(boxes):
-                info = next(im for im in dataset.images if im["id"] == img_id)
-                w0 = info["width"]
+                w0 = widths[img_id]
                 x1 = w0 - 1 - boxes[:, 2]
                 x2 = w0 - 1 - boxes[:, 0]
                 boxes = np.stack([x1, boxes[:, 1], x2, boxes[:, 3]], 1)

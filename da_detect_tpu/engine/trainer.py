@@ -143,6 +143,15 @@ def do_train(cfg, model, state, tx, data_iter, *, max_iter: int,
         last = time.perf_counter()
 
         if checkpointer is not None and (iteration + 1) % checkpoint_period == 0:
+            # never checkpoint a poisoned state: re-verify finiteness at save
+            # time (the per-iteration host sync the reference pays,
+            # trainer.py:279-281, would serialize the pipeline; checking on
+            # log + save boundaries bounds the damage instead)
+            total = float(jax.device_get(metrics["loss_total"]))
+            if not np.isfinite(total):
+                log.error("loss diverged to %s before checkpoint at %d",
+                          total, iteration + 1)
+                raise FloatingPointError(f"non-finite loss at {iteration}")
             checkpointer.save(iteration + 1, jax.device_get(state))
             if eval_fn is not None and cfg.MODEL.EVAL_USE_IN_TRAINING:
                 eval_fn(state, iteration + 1)

@@ -94,7 +94,10 @@ class AnchorGenerator:
 def make_anchor_generator(cfg) -> AnchorGenerator:
     rpn = cfg.MODEL.RPN
     if rpn.USE_FPN:
-        return AnchorGenerator(rpn.ANCHOR_SIZES, rpn.ASPECT_RATIOS, rpn.ANCHOR_STRIDE)
+        # reference asserts one size per stride only for FPN
+        # (anchor_generator.py make_anchor_generator)
+        assert len(rpn.ANCHOR_STRIDE) == len(rpn.ANCHOR_SIZES), (
+            "FPN needs len(ANCHOR_STRIDE) == len(ANCHOR_SIZES)")
     return AnchorGenerator(rpn.ANCHOR_SIZES, rpn.ASPECT_RATIOS, rpn.ANCHOR_STRIDE)
 
 

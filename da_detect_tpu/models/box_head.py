@@ -278,8 +278,10 @@ def postprocess_detections(class_logits, box_regression, proposal_boxes,
         cand_boxes = flat_boxes[top_idx]
         cand_cls = flat_cls[top_idx]
         cand_valid = top_scores > 0.0
-        # per-class NMS via coordinate offset
-        offset = cand_cls.astype(jnp.float32)[:, None] * 1e5
+        # per-class NMS via coordinate offset; offset unit = max coordinate
+        # + 1 (a huge constant would eat float32 precision for high classes)
+        unit = jnp.max(jnp.where(cand_valid[:, None], cand_boxes, 0.0)) + 1.0
+        offset = cand_cls.astype(jnp.float32)[:, None] * unit
         keep_idx, keep_valid = nms_topk(cand_boxes + offset, top_scores,
                                         cand_valid, nms_thresh,
                                         min(detections_per_img, k))

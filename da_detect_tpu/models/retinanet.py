@@ -139,7 +139,8 @@ def retinanet_inference(level_anchors, level_logits, level_regs, image_sizes,
         scores = jnp.concatenate([o[1] for o in outs])
         cls = jnp.concatenate([o[2] for o in outs])
         valid = jnp.concatenate([o[3] for o in outs])
-        offset = cls.astype(jnp.float32)[:, None] * 1e5
+        unit = jnp.max(jnp.where(valid[:, None], boxes, 0.0)) + 1.0
+        offset = cls.astype(jnp.float32)[:, None] * unit
         keep_idx, keep_valid = nms_topk(boxes + offset, scores, valid,
                                         nms_thresh, detections_per_img)
         return Detections(boxes=boxes[keep_idx],

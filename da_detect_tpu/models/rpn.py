@@ -110,10 +110,10 @@ def select_proposals(level_anchors, level_logits, level_deltas, image_sizes,
     k = min(fpn_post_nms_top_n, boxes.shape[1])
     masked = jnp.where(valid, scores, -jnp.inf)
     if is_train:
-        # reference quirk kept: training selects top-k over the whole batch
-        # jointly (rpn/inference.py:154-173)
+        # reference quirk kept: training selects fpn_post_nms_top_n over the
+        # whole batch jointly — NOT per image (rpn/inference.py:160-163)
         flat = masked.reshape(-1)
-        kb = min(fpn_post_nms_top_n * boxes.shape[0], flat.shape[0])
+        kb = min(fpn_post_nms_top_n, flat.shape[0])
         thresh = jax.lax.top_k(flat, kb)[0][-1]
         sel_valid = valid & (masked >= thresh)
         # compact each image's survivors into the front of a [B, k] buffer
