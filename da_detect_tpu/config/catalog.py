@@ -133,6 +133,19 @@ class DatasetCatalog:
         raise RuntimeError(f"Dataset not available: {name}")
 
 
+def load_user_catalog(path: str) -> None:
+    """Import a user paths-catalog module (the reference's PATHS_CATALOG /
+    utils/imports.py mechanism): any module defining a ``DatasetCatalog``
+    class with ``get(name)`` overrides the built-in one."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("user_paths_catalog", path)
+    module = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(module)
+    if hasattr(module, "DatasetCatalog"):
+        DatasetCatalog.get = staticmethod(module.DatasetCatalog.get)
+
+
 class ModelCatalog:
     """Resolve ``catalog://`` model identifiers to local/cached weight files.
 

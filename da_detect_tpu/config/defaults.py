@@ -172,6 +172,9 @@ _C.MODEL.DA_HEADS.DA_CST_LOSS_WEIGHT = 0.1
 _C.MODEL.DA_HEADS.DA_TRIPLET_INS_WEIGHT = 1.0
 _C.MODEL.DA_HEADS.DA_TRIPLET_IMG_WEIGHT = 1.0
 _C.MODEL.DA_HEADS.DA_ADV_GRL = True
+# banded AdvGRL variant (reference Adv_GRL_Optimized, present but uncalled
+# there; selectable here)
+_C.MODEL.DA_HEADS.DA_ADV_GRL_OPTIMIZED = False
 _C.MODEL.DA_HEADS.DA_ADV_GRL_THRESHOLD = 30
 _C.MODEL.DA_HEADS.ALIGNMENT = True
 _C.MODEL.DA_HEADS.TRIPLET_USE = True

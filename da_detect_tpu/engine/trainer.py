@@ -105,7 +105,8 @@ def do_train(cfg, model, state, tx, data_iter, *, max_iter: int,
              meters: Optional[MetricLogger] = None, aligned: bool = False,
              eval_fn: Callable | None = None, log_period: int = 20,
              profile_dir: str | None = None,
-             profile_range: tuple[int, int] = (10, 20)):
+             profile_range: tuple[int, int] = (10, 20),
+             test_period: int = 0):
     """Host-side loop (reference do_da_train trainer.py:150-336): batches in,
     metrics/checkpoints/eval out. ``data_iter`` yields tuples matching
     train_forward's signature (already device-sharded). ``profile_dir``
@@ -153,8 +154,14 @@ def do_train(cfg, model, state, tx, data_iter, *, max_iter: int,
                           total, iteration + 1)
                 raise FloatingPointError(f"non-finite loss at {iteration}")
             checkpointer.save(iteration + 1, jax.device_get(state))
-            if eval_fn is not None and cfg.MODEL.EVAL_USE_IN_TRAINING:
+            if (eval_fn is not None and cfg.MODEL.EVAL_USE_IN_TRAINING
+                    and not test_period):
                 eval_fn(state, iteration + 1)
+        # SOLVER.TEST_PERIOD decouples in-training eval from checkpoints
+        # (upstream's periodically_testing config)
+        if (test_period and eval_fn is not None
+                and (iteration + 1) % test_period == 0):
+            eval_fn(state, iteration + 1)
 
     if checkpointer is not None:
         checkpointer.save(max_iter, jax.device_get(state))

@@ -45,6 +45,12 @@ _normal005 = nn.initializers.normal(0.05)
 # BCE([0.7, 0.3], [1, 0]) — the AdvGRL activation threshold constant
 # (da_heads.py:175)
 ADVGRL_BCE_THRESHOLD = 0.62879246
+# Adv_GRL_Optimized band constants (da_heads.py:197-234):
+# bce_min = BCE([0.6,0.4],[1,0]) = 0.675252, bce_max = BCE([0.55,0.45],[1,0])
+# = 0.704822 (the reference's inline comments mislabel these; the values
+# below are what its torch expressions actually evaluate to)
+ADVGRL_BCE_MIN = 0.67525226
+ADVGRL_BCE_MAX = 0.70482223
 
 
 @struct.dataclass
@@ -136,6 +142,17 @@ def adv_grl_weight(probe_loss, base_weight, adv_weight, threshold):
     return jnp.where(probe_loss <= ADVGRL_BCE_THRESHOLD, boosted, -base_weight)
 
 
+def adv_grl_weight_optimized(probe_loss, base_weight, adv_weight, threshold):
+    """Banded variant (reference Adv_GRL_Optimized, da_heads.py:197-234):
+    boost below bce_min, damp to 0.1*adv_weight above bce_max, plain GRL in
+    between."""
+    boosted = -adv_weight * jnp.minimum(threshold, 1.0 / jnp.maximum(probe_loss, 1e-8))
+    damped = -adv_weight * 0.1
+    return jnp.where(probe_loss <= ADVGRL_BCE_MIN, boosted,
+                     jnp.where(probe_loss >= ADVGRL_BCE_MAX, damped,
+                               -base_weight))
+
+
 def _updated_margin(margin, last_loss, lr, max_margin):
     grow = (last_loss == 0.0) & (jnp.floor(margin) != jnp.floor(max_margin))
     return margin + jnp.where(grow, lr, 0.0)
@@ -156,6 +173,7 @@ class DomainAdaptationModule(nn.Module):
     img_adv_grl_weight: float = 0.1
     ins_adv_grl_weight: float = 0.1
     use_adv_grl: bool = True
+    adv_grl_optimized: bool = False
     adv_grl_threshold: float = 30.0
     triplet_margin_img: float = 1.0
     triplet_margin_ins: float = 1.0
@@ -211,9 +229,10 @@ class DomainAdaptationModule(nn.Module):
             probe_loss = jax.lax.stop_gradient(
                 da_img_loss(probe_logits, is_source))
             if self.use_adv_grl:
-                w = adv_grl_weight(probe_loss, self.img_grl_weight,
-                                   self.img_adv_grl_weight,
-                                   self.adv_grl_threshold)
+                fn = (adv_grl_weight_optimized if self.adv_grl_optimized
+                      else adv_grl_weight)
+                w = fn(probe_loss, self.img_grl_weight,
+                       self.img_adv_grl_weight, self.adv_grl_threshold)
             else:
                 w = -jnp.asarray(self.img_grl_weight)
             grl_feas = [gradient_scalar(f, w) for f in img_features]
@@ -227,9 +246,10 @@ class DomainAdaptationModule(nn.Module):
             probe_loss = jax.lax.stop_gradient(
                 da_ins_loss(probe, domain_mask, ins_valid))
             if self.use_adv_grl:
-                w = adv_grl_weight(probe_loss, self.ins_grl_weight,
-                                   self.ins_adv_grl_weight,
-                                   self.adv_grl_threshold)
+                fn = (adv_grl_weight_optimized if self.adv_grl_optimized
+                      else adv_grl_weight)
+                w = fn(probe_loss, self.ins_grl_weight,
+                       self.ins_adv_grl_weight, self.adv_grl_threshold)
             else:
                 w = -jnp.asarray(self.ins_grl_weight)
             ins_logits = self.inshead(gradient_scalar(ins_flat, w),
@@ -266,6 +286,7 @@ def make_da_heads(cfg, dtype):
         img_adv_grl_weight=da.DA_IMG_advGRL_WEIGHT,
         ins_adv_grl_weight=da.DA_INS_advGRL_WEIGHT,
         use_adv_grl=da.DA_ADV_GRL,
+        adv_grl_optimized=da.DA_ADV_GRL_OPTIMIZED,
         adv_grl_threshold=float(da.DA_ADV_GRL_THRESHOLD),
         triplet_margin_img=da.TRIPLET_MARGIN_IMG,
         triplet_margin_ins=da.TRIPLET_MARGIN_INS,

@@ -44,6 +44,10 @@ def setup(args, logger_name: str):
     cfg.MODEL.OUTPUT_DIR = output_dir
     cfg.freeze()
 
+    if cfg.PATHS_CATALOG and os.path.exists(cfg.PATHS_CATALOG):
+        from ..config.catalog import load_user_catalog
+        load_user_catalog(cfg.PATHS_CATALOG)
+
     if jax.process_index() == 0:
         os.makedirs(output_dir, exist_ok=True)
     # configure the package root so engine/data/eval module logs surface too

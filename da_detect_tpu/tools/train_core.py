@@ -72,7 +72,8 @@ def run_training(cfg, logger, *, mode: str, schedule_kind: str,
         checkpointer=checkpointer,
         checkpoint_period=cfg.SOLVER.CHECKPOINT_PERIOD, meters=meters,
         aligned=(mode != "source_only" and cfg.MODEL.DA_HEADS.ALIGNMENT),
-        eval_fn=eval_fn, profile_dir=profile_dir or None)
+        eval_fn=eval_fn, profile_dir=profile_dir or None,
+        test_period=cfg.SOLVER.TEST_PERIOD)
 
     if not skip_test and cfg.DATASETS.TEST:
         run_eval(cfg, logger, model, state, sharding)

@@ -80,15 +80,18 @@ def make_triplet_datasets(root: str, n_images: int = 8, h: int = 120,
 
 
 def register_tiny_catalog(dirs: dict):
-    """Point catalog names at the synthetic tree (monkeypatch-style)."""
+    """Point tiny_* catalog names at the synthetic tree; everything else
+    falls through to the real catalog (tests run in one process)."""
     from da_detect_tpu.config.catalog import DatasetCatalog
+
+    original_get = DatasetCatalog.get
 
     def get(name):
         key = ("clean" if "tiny_clean" in name
                else "foggy" if "tiny_foggy" in name
                else "rainy" if "tiny_rainy" in name else None)
         if key is None:
-            raise RuntimeError(f"Dataset not available: {name}")
+            return original_get(name)
         img_dir, ann = dirs[key]
         return {"factory": "COCODataset",
                 "args": {"root": img_dir, "ann_file": ann}}
