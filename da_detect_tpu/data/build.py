@@ -26,8 +26,16 @@ import numpy as np
 from ..config.catalog import DatasetCatalog
 from ..structures.image_batch import ImageBatch, Targets
 from . import datasets as D
-from .transforms import (apply_geometry, canvas_for, load_image_bgr,
-                         normalize_and_pad, rasterize_polygons)
+from .transforms import (apply_geometry, canvas_for, compute_resize_hw,
+                         load_image_bgr, normalize_and_pad,
+                         rasterize_polygons, transform_boxes)
+
+try:  # fused native resize+normalize+pad (one pass; see native/src)
+    from .. import native as _native
+    _HAVE_NATIVE_PREP = _native.available()
+except Exception:  # pragma: no cover
+    _native = None
+    _HAVE_NATIVE_PREP = False
 
 
 def build_dataset(names: Sequence[str], is_train: bool, is_source: bool = True):
@@ -77,11 +85,20 @@ class _SampleProcessor:
     def __call__(self, sample, params, canvas_hw):
         img = load_image_bgr(sample["path"])
         orig_boxes = sample["boxes"]
-        img, boxes, (rh, rw) = apply_geometry(
-            img, sample["boxes"], min_size=params["min_size"],
-            max_size=self.max_size, hflip=params["hflip"])
-        img = normalize_and_pad(img, canvas_hw, self.pixel_mean,
-                                self.to_bgr255, self.pixel_std)
+        h, w = img.shape[:2]
+        rh, rw = compute_resize_hw(h, w, params["min_size"], self.max_size)
+        if _HAVE_NATIVE_PREP:
+            boxes = transform_boxes(sample["boxes"], h, w, rh, rw,
+                                    params["hflip"])
+            img = _native.prep_image(img, canvas_hw, (rh, rw),
+                                     self.pixel_mean, self.pixel_std,
+                                     self.to_bgr255, params["hflip"])
+        else:
+            img, boxes, (rh, rw) = apply_geometry(
+                img, sample["boxes"], min_size=params["min_size"],
+                max_size=self.max_size, hflip=params["hflip"])
+            img = normalize_and_pad(img, canvas_hw, self.pixel_mean,
+                                    self.to_bgr255, self.pixel_std)
         g = self.max_gt
         n = min(len(boxes), g)
         pb = np.zeros((g, 4), np.float32)

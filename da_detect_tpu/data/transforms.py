@@ -50,6 +50,19 @@ def load_image_bgr(path: str) -> np.ndarray:
     return img
 
 
+def transform_boxes(boxes: np.ndarray, h: int, w: int, oh: int, ow: int,
+                    hflip: bool) -> np.ndarray:
+    """Box-only counterpart of apply_geometry (shared with the fused native
+    image path)."""
+    if len(boxes):
+        boxes = boxes * np.array([ow / w, oh / h, ow / w, oh / h], np.float32)
+        if hflip:
+            x1 = ow - 1 - boxes[:, 2]
+            x2 = ow - 1 - boxes[:, 0]
+            boxes = np.stack([x1, boxes[:, 1], x2, boxes[:, 3]], 1)
+    return boxes.astype(np.float32)
+
+
 def apply_geometry(image: np.ndarray, boxes: np.ndarray, *, min_size: int,
                    max_size: int | None, hflip: bool):
     """Resize + optional horizontal flip. Returns (image, boxes, (rh, rw))."""

@@ -55,6 +55,12 @@ def _build_and_load():
             ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
             ctypes.c_float, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_float)]
+        lib.prep_image.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int]
         _LIB = lib
         return lib
 
@@ -102,6 +108,26 @@ def roi_align(feat: np.ndarray, rois: np.ndarray, spatial_scale: float,
     out = np.zeros((n, output_size, output_size, c), np.float32)
     lib.roi_align_cpu(_fptr(feat), h, w, c, _fptr(rois), n,
                       spatial_scale, output_size, sampling_ratio, _fptr(out))
+    return out
+
+
+def prep_image(src_bgr_u8: np.ndarray, canvas_hw, resized_hw, pixel_mean,
+               pixel_std, to_bgr255: bool = True,
+               hflip: bool = False) -> np.ndarray:
+    """Fused resize+normalize+pad: uint8 BGR [sh, sw, 3] -> float32 canvas
+    [ch, cw, 3] (one pass; replaces the cv2.resize -> normalize -> pad
+    chain)."""
+    lib = _build_and_load()
+    src = np.ascontiguousarray(src_bgr_u8, np.uint8)
+    ch, cw = canvas_hw
+    rh, rw = resized_hw
+    out = np.empty((ch, cw, 3), np.float32)
+    mean = np.ascontiguousarray(pixel_mean, np.float32)
+    std = np.ascontiguousarray(pixel_std, np.float32)
+    lib.prep_image(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        src.shape[0], src.shape[1], _fptr(out), ch, cw, rh, rw,
+        int(to_bgr255), _fptr(mean), _fptr(std), int(hflip))
     return out
 
 

@@ -47,3 +47,36 @@ def test_native_roi_align_matches_device():
             jnp.asarray(feat), jnp.asarray(rois), spatial_scale=1.0 / 16,
             output_size=7, sampling_ratio=ratio))
         np.testing.assert_allclose(got_dev, got_native, rtol=1e-3, atol=1e-4)
+
+
+def test_native_prep_matches_numpy_path():
+    """Fused resize+normalize+pad vs the cv2+numpy chain."""
+    import cv2
+    from da_detect_tpu.data.transforms import (apply_geometry,
+                                               normalize_and_pad)
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 255, (60, 90, 3), dtype=np.uint8)
+    mean = (102.9801, 115.9465, 122.7717)
+    std = (1.0, 1.0, 1.0)
+    for hflip in (False, True):
+        ref_img, _, (rh, rw) = apply_geometry(
+            img, np.zeros((0, 4), np.float32), min_size=40, max_size=70,
+            hflip=hflip)
+        want = normalize_and_pad(ref_img, (64, 96), mean, True, std)
+        got = native.prep_image(img, (64, 96), (rh, rw), mean, std, True,
+                                hflip)
+        assert got.shape == want.shape
+        # bilinear implementations differ at border taps; interior matches
+        err = np.abs(got[1:rh - 1, 1:rw - 1] - want[1:rh - 1, 1:rw - 1])
+        assert np.median(err) < 1.0, float(np.median(err))
+        # padding region exactly zero
+        np.testing.assert_array_equal(got[rh:], 0.0)
+        np.testing.assert_array_equal(got[:, rw:], 0.0)
+    # RGB/unit-scale convention too
+    got = native.prep_image(img, (64, 96), (60, 90),
+                            (0.485, 0.456, 0.406), (0.229, 0.224, 0.225),
+                            False, False)
+    manual = (img[..., ::-1].astype(np.float32) / 255.0
+              - np.asarray((0.485, 0.456, 0.406), np.float32)) / np.asarray(
+                  (0.229, 0.224, 0.225), np.float32)
+    np.testing.assert_allclose(got[:60, :90], manual, rtol=1e-4, atol=1e-4)
