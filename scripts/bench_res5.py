@@ -144,6 +144,63 @@ def _head_mm(conv3, p, x):
     return x
 
 
+# --- variants D/E: custom_vjp hybrids (shift fwd + hand-written bwd) ---------
+
+def _shift_bwd_dx(g, w):
+    """dx = correlation of g with the 180-degree-rotated, IO-swapped kernel,
+    in the same shift-matmul form."""
+    return _conv3x3_shift(g, jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2))
+
+
+def _shift_bwd_dw(x, g):
+    n, hh, ww, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    rows = []
+    for dy in range(3):
+        for dx in range(3):
+            rows.append(jnp.einsum("bhwc,bhwo->co",
+                                   xp[:, dy:dy + hh, dx:dx + ww], g))
+    return jnp.stack(rows, 0).reshape(3, 3, c, -1)
+
+
+@jax.custom_vjp
+def _conv3x3_hybrid(x, w):
+    return _conv3x3_shift(x, w)
+
+
+def _hy_fwd(x, w):
+    return _conv3x3_shift(x, w), (x, w)
+
+
+def _hy_bwd(res, g):
+    x, w = res
+    return _shift_bwd_dx(g, w), _shift_bwd_dw(x, g)
+
+
+_conv3x3_hybrid.defvjp(_hy_fwd, _hy_bwd)
+
+
+@jax.custom_vjp
+def _conv3x3_hybrid_laxbwd(x, w):
+    return _conv3x3_shift(x, w)
+
+
+def _hyl_fwd(x, w):
+    return _conv3x3_shift(x, w), (x, w)
+
+
+def _hyl_bwd(res, g):
+    x, w = res
+    dx = jax.lax.conv_general_dilated(
+        g, jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2), (1, 1),
+        ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    dw = _shift_bwd_dw(x, g)
+    return dx, dw
+
+
+_conv3x3_hybrid_laxbwd.defvjp(_hyl_fwd, _hyl_bwd)
+
+
 def main():
     print("devices:", jax.devices())
     key = jax.random.PRNGKey(0)
@@ -155,6 +212,8 @@ def main():
         "A_laxconv": head_conv,
         "B_im2col": lambda p, x: _head_mm(_conv3x3_im2col, p, x),
         "C_shift": lambda p, x: _head_mm(_conv3x3_shift, p, x),
+        "D_hybrid": lambda p, x: _head_mm(_conv3x3_hybrid, p, x),
+        "E_hyblax": lambda p, x: _head_mm(_conv3x3_hybrid_laxbwd, p, x),
     }
 
     # numerics cross-check (vs A, f32 tolerance for bf16 compute)
