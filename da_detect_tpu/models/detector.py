@@ -109,6 +109,27 @@ class GeneralizedRCNN(nn.Module):
         return dets
 
     # -- training ----------------------------------------------------------
+    def _rpn_and_proposals(self, batch, targets, append_gt: bool):
+        feats, logits, deltas, anchors = self._features_and_rpn(batch.images)
+        sizes = batch.sizes.astype(jnp.float32)
+        # proposal selection runs without gradients (reference rpn.py:114-117
+        # wraps box_selector_train in no_grad)
+        sg = jax.lax.stop_gradient
+        props = select_proposals(anchors, [sg(l) for l in logits],
+                                 [sg(d) for d in deltas], sizes,
+                                 **self.rpn_train)
+        if append_gt:
+            props = append_gt_proposals(props, targets.boxes, targets.valid,
+                                        batch.is_source)
+        return feats, logits, deltas, anchors, props
+
+    def _subsample_and_extract(self, key, feats, props, targets, is_source):
+        sampled = subsample_proposals(
+            key, props.boxes, props.valid, targets.boxes, targets.labels,
+            targets.valid, is_source, **self.sample_cfg)
+        x = self.feature_extractor(feats, sampled.rois)
+        return sampled, x
+
     def train_forward(self, batch_s: ImageBatch, targets_s: Targets,
                       da_state: DAState, batch_t: ImageBatch = None,
                       targets_t: Targets = None, batch_n: ImageBatch = None,
@@ -119,15 +140,8 @@ class GeneralizedRCNN(nn.Module):
         target / negative target) so data-parallel sharding keeps triple i on
         one device with no cross-device slicing. Passing only ``batch_s`` is
         source-only training; + ``batch_t`` is classic 2-domain DA; + both is
-        the triplet path.
-
-        All domain slices run through ONE batched backbone / RPN / selection /
-        ROI pass (the reference concatenates the images the same way,
-        generalized_rcnn.py:77-79 + trainer.py:215-224); a single full-size
-        program beats the former per-domain half-size passes on the MXU. The
-        negative slice still skips RPN/ROI (only its level-0 features feed the
-        image triplet loss), and target-domain supervision is skipped rather
-        than masked out of the loss (loss-equivalent, fewer FLOPs).
+        the triplet path. Per-domain backbone/ROI passes skip the work the
+        reference masks out afterwards (loss-equivalent, fewer FLOPs).
         """
         b = batch_s.batch_size
         mode = ("da_triplet" if batch_n is not None
@@ -136,45 +150,16 @@ class GeneralizedRCNN(nn.Module):
         rpn_key = self.make_rng("sampling")
         sub_key = self.make_rng("sampling")
 
-        batches = [bb for bb in (batch_s, batch_t, batch_n) if bb is not None]
-        feats_all = self.backbone(
-            jnp.concatenate([bb.images for bb in batches], axis=0)
-            if len(batches) > 1 else batch_s.images)
-        ndet = min(len(batches), 2) * b   # rows that feed RPN/ROI heads
-
-        feats_det = [f[:ndet] for f in feats_all]
-        logits, deltas = self.rpn_head(feats_det)
-        gen = AnchorGenerator(self.anchor_sizes, self.aspect_ratios,
-                              self.anchor_strides)
-        shapes = [(f.shape[1], f.shape[2]) for f in feats_det]
-        anchors = [jnp.asarray(a) for a in gen.anchors_for_shapes(shapes)]
-
-        sizes_det = jnp.concatenate(
-            [bb.sizes for bb in batches[:2]], axis=0).astype(jnp.float32)
-        is_src_det = jnp.concatenate(
-            [jnp.ones((b,), bool), jnp.zeros((ndet - b,), bool)])
-
-        # proposal selection runs without gradients (reference rpn.py:114-117
-        # wraps box_selector_train in no_grad); GT boxes are appended for
-        # source rows only (rpn/inference.py:51-74)
-        sg = jax.lax.stop_gradient
-        props = select_proposals(anchors, [sg(l) for l in logits],
-                                 [sg(d) for d in deltas], sizes_det,
-                                 **self.rpn_train)
-        tgts_det = [targets_s, targets_t][:ndet // b]
-        gt_boxes = jnp.concatenate([t.boxes for t in tgts_det], axis=0)
-        gt_labels = jnp.concatenate([t.labels for t in tgts_det], axis=0)
-        gt_valid = jnp.concatenate([t.valid for t in tgts_det], axis=0)
-        props = append_gt_proposals(props, gt_boxes, gt_valid, is_src_det)
+        feats_s, logits_s, deltas_s, anchors, props_s = self._rpn_and_proposals(
+            batch_s, targets_s, append_gt=True)
 
         # RPN supervision is source-only (reference rpn/loss.py:57-98 skips
-        # target images; scoring the source slice alone is equivalent)
+        # target images; running it on the source slice alone is equivalent)
         anchors_cat = jnp.concatenate(anchors, axis=0)
-        obj_cat = jnp.concatenate([l[:b].reshape(b, -1) for l in logits],
-                                  axis=1)
+        obj_cat = jnp.concatenate([l.reshape(b, -1) for l in logits_s], axis=1)
         dl_cat = jnp.concatenate(
-            [d[:b].reshape(b, -1, self.num_anchors, 4).reshape(b, -1, 4)
-             for d in deltas], axis=1)
+            [d.reshape(b, -1, self.num_anchors, 4).reshape(b, -1, 4)
+             for d in deltas_s], axis=1)
         loss_obj, loss_rpn_box = rpn_loss(
             rpn_key, anchors_cat, obj_cat, dl_cat, targets_s.boxes,
             targets_s.valid, jnp.ones((b,), bool),
@@ -184,13 +169,8 @@ class GeneralizedRCNN(nn.Module):
             return {"loss_objectness": loss_obj,
                     "loss_rpn_box_reg": loss_rpn_box}, da_state
 
-        sampled = subsample_proposals(
-            sub_key, props.boxes, props.valid, gt_boxes, gt_labels, gt_valid,
-            is_src_det, **self.sample_cfg)
-        x = self.feature_extractor(feats_det, sampled.rois)  # [ndet, R, ...]
-
-        sampled_s = jax.tree_util.tree_map(lambda a: a[:b], sampled)
-        x_s = x[:b]
+        sampled_s, x_s = self._subsample_and_extract(
+            sub_key, feats_s, props_s, targets_s, jnp.ones((b,), bool))
         cls_logits, box_deltas = self.predictor(x_s)
         loss_cls, loss_box = fast_rcnn_loss(
             cls_logits, box_deltas, sampled_s,
@@ -203,7 +183,6 @@ class GeneralizedRCNN(nn.Module):
             "loss_box_reg": loss_box,
         }
 
-        feats_s = [f[:b] for f in feats_all]
         if self.mask_head is not None:
             losses["loss_mask"] = mask_rcnn_loss(
                 self.mask_head, feats_s, sampled_s, targets_s,
@@ -215,37 +194,47 @@ class GeneralizedRCNN(nn.Module):
 
         new_state = da_state
         if self.da_module is not None and mode != "source_only":
+            tgt_key = self.make_rng("sampling")
+            feats_t, _, _, _, props_t = self._rpn_and_proposals(
+                batch_t, targets_t, append_gt=False)
+            sampled_t, x_t = self._subsample_and_extract(
+                tgt_key, feats_t, props_t, targets_t, jnp.zeros((b,), bool))
+
             # instance features of both domains for the DA instance head /
-            # consistency — already batched as [2k, R, ...]
-            dom_mask = sampled.valid & is_src_det[:, None]
+            # consistency (cheap heads -> the 2k concat is fine)
+            da_ins_feas = jnp.concatenate([x_s, x_t], axis=0)
+            ins_valid = jnp.concatenate([sampled_s.valid, sampled_t.valid], axis=0)
+            dom_mask = jnp.concatenate(
+                [sampled_s.valid, jnp.zeros_like(sampled_t.valid)], axis=0)
+            det_feats = [jnp.concatenate([fs, ft], axis=0)
+                         for fs, ft in zip(feats_s, feats_t)]
+            is_source_det = jnp.concatenate(
+                [jnp.ones((b,), bool), jnp.zeros((b,), bool)])
 
             img_fea_set = None
             da_ins_set = None
             if mode == "da_triplet":
-                f0 = feats_all[0]
-                img_fea_set = (f0[:b], f0[b:2 * b], f0[2 * b:])
+                feats_n = self.backbone(batch_n.images)
+                img_fea_set = (feats_s[0], feats_t[0], feats_n[0])
                 if aligned:
                     # pool the positive slice's proposals from each domain's
-                    # features (reference generalized_rcnn.py:109-114) in one
-                    # batched subsample + ROI pass over the 3 slices
-                    d_key = self.make_rng("sampling")
-                    pt_boxes = jnp.tile(props.boxes[b:2 * b], (3, 1, 1))
-                    pt_valid = jnp.tile(props.valid[b:2 * b], (3, 1))
-                    trip_tgts = (targets_s, targets_t, targets_n)
-                    samp = subsample_proposals(
-                        d_key, pt_boxes, pt_valid,
-                        jnp.concatenate([t.boxes for t in trip_tgts], axis=0),
-                        jnp.concatenate([t.labels for t in trip_tgts], axis=0),
-                        jnp.concatenate([t.valid for t in trip_tgts], axis=0),
-                        jnp.concatenate(
-                            [jnp.ones((b,), bool), jnp.zeros((2 * b,), bool)]),
-                        **self.sample_cfg)
-                    xt = self.feature_extractor(feats_all, samp.rois)
-                    da_ins_set = (xt[:b], xt[b:2 * b], xt[2 * b:])
+                    # features (reference generalized_rcnn.py:109-114),
+                    # independent subsample per pass
+                    da_ins_set = []
+                    for fd, tg, src in ((feats_s, targets_s, True),
+                                        (feats_t, targets_t, False),
+                                        (feats_n, targets_n, False)):
+                        d_key = self.make_rng("sampling")
+                        samp = subsample_proposals(
+                            d_key, props_t.boxes, props_t.valid, tg.boxes,
+                            tg.labels, tg.valid, jnp.full((b,), src),
+                            **self.sample_cfg)
+                        da_ins_set.append(self.feature_extractor(fd, samp.rois))
+                    da_ins_set = tuple(da_ins_set)
 
             da_losses, new_state = self.da_module(
-                feats_det, x, dom_mask, sampled.valid, da_ins_set,
-                img_fea_set, is_src_det, da_state, deterministic=False)
+                det_feats, da_ins_feas, dom_mask, ins_valid, da_ins_set,
+                img_fea_set, is_source_det, da_state, deterministic=False)
             losses.update(da_losses)
 
         return losses, new_state

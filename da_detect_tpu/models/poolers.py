@@ -34,13 +34,13 @@ def assign_levels(rois: jnp.ndarray, k_min: int, k_max: int,
 
 def pool_rois(features: Sequence[jnp.ndarray], rois: jnp.ndarray, *,
               scales: Sequence[float], output_size: int, sampling_ratio: int,
-              max_samples: int = 4) -> jnp.ndarray:
+              max_samples: int = 4, use_pallas: bool = False) -> jnp.ndarray:
     """features: per-level [B, H_l, W_l, C]; rois [B, R, 4] (image coords).
     Returns [B, R, P, P, C]."""
     if len(features) == 1:
         return roi_align(features[0], rois, spatial_scale=scales[0],
                          output_size=output_size, sampling_ratio=sampling_ratio,
-                         max_samples=max_samples)
+                         max_samples=max_samples, use_pallas=use_pallas)
     k_min = -int(math.log2(scales[0]))
     k_max = -int(math.log2(scales[-1]))
     levels = assign_levels(rois, k_min, k_max)            # [B, R]
@@ -48,7 +48,7 @@ def pool_rois(features: Sequence[jnp.ndarray], rois: jnp.ndarray, *,
     for i, (feat, scale) in enumerate(zip(features, scales)):
         pooled = roi_align(feat, rois, spatial_scale=scale,
                            output_size=output_size, sampling_ratio=sampling_ratio,
-                           max_samples=max_samples)
+                           max_samples=max_samples, use_pallas=use_pallas)
         sel = (levels == i).astype(pooled.dtype)[..., None, None, None]
         out = pooled * sel if out is None else out + pooled * sel
     return out
@@ -56,5 +56,9 @@ def pool_rois(features: Sequence[jnp.ndarray], rois: jnp.ndarray, *,
 
 def pooler_config(cfg, head: str = "ROI_BOX_HEAD") -> dict:
     h = cfg.MODEL[head]
+    # use_pallas stays False for pooling: the VMEM-resident kernel measured
+    # slower than the layout-tuned einsum path (P=14 starves the MXU per
+    # block; see ops/roi_align_pallas.py docstring) — kept available for
+    # larger pooled resolutions / future schedules
     return dict(scales=tuple(h.POOLER_SCALES), output_size=h.POOLER_RESOLUTION,
                 sampling_ratio=h.POOLER_SAMPLING_RATIO)

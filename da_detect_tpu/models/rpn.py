@@ -68,13 +68,15 @@ def _select_level(anchors, obj, deltas, image_size, pre_nms, post_nms,
     boxes = box_ops.decode_boxes(deltas.astype(jnp.float32)[top_idx], anchors[top_idx])
     boxes = box_ops.clip_boxes(boxes, image_size[0], image_size[1])
     valid = box_ops.min_size_mask(boxes, float(min_size))
+    # top_k output is already score-descending -> skip the NMS-internal sort
     if use_pallas and jax.default_backend() == "tpu":
         from ..ops.nms_pallas import nms_topk_pallas
         keep_idx, keep_valid = nms_topk_pallas(boxes, top_scores, valid,
-                                               nms_thresh, post_nms)
+                                               nms_thresh, post_nms,
+                                               presorted=True)
     else:
         keep_idx, keep_valid = nms_topk(boxes, top_scores, valid, nms_thresh,
-                                        post_nms)
+                                        post_nms, presorted=True)
     return boxes[keep_idx], jnp.where(keep_valid, top_scores[keep_idx], 0.0), keep_valid
 
 

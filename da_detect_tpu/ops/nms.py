@@ -52,21 +52,28 @@ def _resolve_chunk(candidates: jnp.ndarray, suppress: jnp.ndarray) -> jnp.ndarra
     return keep
 
 
-@partial(jax.jit, static_argnames=("legacy_plus1", "chunk"))
+@partial(jax.jit, static_argnames=("legacy_plus1", "chunk", "presorted"))
 def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
              iou_threshold: float, *, legacy_plus1: bool = True,
-             chunk: int = 256) -> jnp.ndarray:
+             chunk: int = 256, presorted: bool = False) -> jnp.ndarray:
     """Greedy NMS. Returns keep mask [N] in the *original* box order.
 
     boxes [N, 4] xyxy, scores [N], valid [N] bool. Ties broken by original
     index (stable sort), like the reference's sorted-order kernel.
+
+    ``presorted`` skips the internal sort when scores are already descending
+    among valid entries (e.g. straight out of lax.top_k) — invalid rows may
+    sit anywhere, they neither keep nor suppress.
     """
     n = boxes.shape[0]
     c = min(chunk, max(8, n))
     n_pad = -(-n // c) * c
 
-    masked_scores = jnp.where(valid, scores, NEG_INF)
-    order = jnp.argsort(-masked_scores)  # stable descending
+    if presorted:
+        order = jnp.arange(n)
+    else:
+        masked_scores = jnp.where(valid, scores, NEG_INF)
+        order = jnp.argsort(-masked_scores)  # stable descending
     bs = jnp.zeros((n_pad, 4), boxes.dtype).at[:n].set(boxes[order])
     vs = jnp.zeros((n_pad,), bool).at[:n].set(valid[order])
 
@@ -91,10 +98,10 @@ def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
     return jnp.zeros((n,), bool).at[order].set(keep_sorted[:n])
 
 
-@partial(jax.jit, static_argnames=("k", "legacy_plus1", "chunk"))
+@partial(jax.jit, static_argnames=("k", "legacy_plus1", "chunk", "presorted"))
 def nms_topk(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
              iou_threshold: float, k: int, *, legacy_plus1: bool = True,
-             chunk: int = 256):
+             chunk: int = 256, presorted: bool = False):
     """NMS then top-k survivors by score.
 
     Returns (indices [k] into the original arrays, valid_k [k] bool). This is
@@ -102,7 +109,7 @@ def nms_topk(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
     (rpn/inference.py:110-123).
     """
     keep = nms_mask(boxes, scores, valid, iou_threshold,
-                    legacy_plus1=legacy_plus1, chunk=chunk)
+                    legacy_plus1=legacy_plus1, chunk=chunk, presorted=presorted)
     kept_scores = jnp.where(keep, scores, NEG_INF)
     k_eff = min(k, kept_scores.shape[0])
     top_scores, idx = lax.top_k(kept_scores, k_eff)

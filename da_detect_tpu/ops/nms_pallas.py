@@ -137,9 +137,24 @@ def nms_mask_pallas_sorted(boxes_sorted: jnp.ndarray, valid_sorted: jnp.ndarray,
     return keep[0, :n] > 0.5
 
 
-def nms_topk_pallas(boxes, scores, valid, iou_threshold, k):
-    """Drop-in for ops.nms.nms_topk using the Pallas kernel."""
+def nms_topk_pallas(boxes, scores, valid, iou_threshold, k, *,
+                    presorted: bool = False):
+    """Drop-in for ops.nms.nms_topk using the Pallas kernel.
+
+    ``presorted`` skips the argsort when scores are already descending among
+    valid entries (straight out of lax.top_k); invalid rows may sit anywhere
+    — the kernel's valid mask stops them from keeping or suppressing."""
     masked = jnp.where(valid, scores, -1e30)
+    if presorted:
+        keep_sorted = nms_mask_pallas_sorted(boxes, valid, iou_threshold)
+        kept_scores = jnp.where(keep_sorted, masked, -1e30)
+        k_eff = min(k, kept_scores.shape[0])
+        top_scores, idx = lax.top_k(kept_scores, k_eff)
+        if k_eff < k:
+            idx = jnp.concatenate([idx, jnp.zeros(k - k_eff, idx.dtype)])
+            top_scores = jnp.concatenate(
+                [top_scores, jnp.full(k - k_eff, -1e30, top_scores.dtype)])
+        return idx, top_scores > -1e29
     order = jnp.argsort(-masked)
     keep_sorted = nms_mask_pallas_sorted(boxes[order], valid[order],
                                          iou_threshold)

@@ -98,18 +98,34 @@ def roi_align_image(features: jnp.ndarray, rois: jnp.ndarray, *,
     ax = _interp_matrix(start_w, bin_w, grid_w, w, p, s, dtype).astype(features.dtype)
 
     # contract the larger spatial axis first so the [R, P, other, C]
-    # intermediate is as small as possible
+    # intermediate is as small as possible, and keep every index order
+    # dot_general-natural (batch, lhs-free, rhs-free) — a non-natural order
+    # makes XLA materialize a layout copy of the big intermediate, which at
+    # the C4 parity shape costs ~3.5 ms/step (measured; scripts/profile_step.py)
     if w >= h:
-        t = jnp.einsum("rqw,hwc->rhqc", ax, features)             # MXU
-        out = jnp.einsum("rph,rhqc->rpqc", ay, t)                 # MXU
+        t = jnp.einsum("rqw,hwc->rqhc", ax, features)             # MXU
+        out = jnp.einsum("rph,rqhc->rpqc", ay, t)                 # MXU
     else:
         t = jnp.einsum("rph,hwc->rpwc", ay, features)             # MXU
         out = jnp.einsum("rqw,rpwc->rpqc", ax, t)                 # MXU
     return out
 
 
-def roi_align(features: jnp.ndarray, rois: jnp.ndarray, **kwargs) -> jnp.ndarray:
-    """Batched ROIAlign: features [B, H, W, C], rois [B, R, 4] -> [B, R, P, P, C]."""
+def roi_align(features: jnp.ndarray, rois: jnp.ndarray, *,
+              use_pallas: bool = False, **kwargs) -> jnp.ndarray:
+    """Batched ROIAlign: features [B, H, W, C], rois [B, R, 4] -> [B, R, P, P, C].
+
+    With ``use_pallas`` the VMEM-resident Pallas kernel handles feature maps
+    that fit on-chip (the C4 head case); larger maps (high-res FPN levels)
+    keep the einsum formulation, whose intermediates scale with C and stay
+    moderate at FPN's 256 channels.
+    """
+    if use_pallas:
+        from . import roi_align_pallas as rap
+        if ((jax.default_backend() == "tpu" or rap.INTERPRET)
+                and features.shape[-1] % 128 == 0
+                and rap.fits_vmem(features.shape, features.dtype.itemsize)):
+            return rap.roi_align_pallas(features, rois, **kwargs)
     return jax.vmap(lambda f, r: roi_align_image(f, r, **kwargs))(features, rois)
 
 

@@ -91,3 +91,20 @@ def test_nms_topk():
     np.testing.assert_array_equal(np.sort(idx[vk]), np.sort(want))
     # and sorted by descending score
     assert np.all(np.diff(scores[idx[vk]]) <= 1e-7)
+
+
+def test_nms_topk_presorted_matches():
+    """presorted=True on descending-score input == the sorting path, with
+    invalid rows interspersed (the RPN _select_level calling pattern)."""
+    boxes, scores = make_cluster_boxes(400, 21)
+    rng = np.random.RandomState(22)
+    valid = rng.rand(400) > 0.2
+    order = np.argsort(-scores, kind="stable")
+    bs, ss, vs = boxes[order], scores[order], valid[order]
+    idx_a, val_a = nms_topk(jnp.asarray(bs), jnp.asarray(ss), jnp.asarray(vs),
+                            0.5, 64)
+    idx_b, val_b = nms_topk(jnp.asarray(bs), jnp.asarray(ss), jnp.asarray(vs),
+                            0.5, 64, presorted=True)
+    np.testing.assert_array_equal(np.asarray(val_a), np.asarray(val_b))
+    np.testing.assert_array_equal(np.asarray(idx_a)[np.asarray(val_a)],
+                                  np.asarray(idx_b)[np.asarray(val_b)])

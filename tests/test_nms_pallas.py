@@ -42,3 +42,20 @@ def test_pallas_nms_respects_validity():
     got_orig = np.zeros(1024, bool)
     got_orig[order] = got
     np.testing.assert_array_equal(got_orig[valid], sub)
+
+
+def test_pallas_nms_topk_presorted_matches():
+    """presorted=True on top_k-ordered input == the argsort path, with
+    invalid rows interspersed (the RPN _select_level calling pattern)."""
+    boxes, scores = make_cluster_boxes(1024, 17)
+    valid = np.arange(1024) % 5 != 0
+    order = np.argsort(-scores, kind="stable")   # what lax.top_k produces
+    bs, ss, vs = boxes[order], scores[order], valid[order]
+    idx_a, val_a = NP.nms_topk_pallas(jnp.asarray(bs), jnp.asarray(ss),
+                                      jnp.asarray(vs), 0.6, 100)
+    idx_b, val_b = NP.nms_topk_pallas(jnp.asarray(bs), jnp.asarray(ss),
+                                      jnp.asarray(vs), 0.6, 100,
+                                      presorted=True)
+    np.testing.assert_array_equal(np.asarray(val_a), np.asarray(val_b))
+    np.testing.assert_array_equal(np.asarray(idx_a)[np.asarray(val_a)],
+                                  np.asarray(idx_b)[np.asarray(val_b)])
