@@ -7,10 +7,10 @@ the gradient all-reduces over ICI automatically under jit — no hand-written
 collectives (the analog of utils/comm.py dissolves into the compiler).
 
 DA batches must keep each (source, positive, negative) triple co-located on
-one device (SURVEY §5.8): the loader lays batches out as [k_src | k_pos |
-k_neg] globally, so we shard over the *k* dimension by interleaving — use
-``triplet_shard_order`` to permute the batch so equal-index images of each
-domain slice land on the same device.
+one device (SURVEY §5.8). The domain slices travel as three *separate*
+[k, ...] batches (see GeneralizedRCNN.train_forward), each sharded over the
+same ``data`` axis — device d gets rows [d*k/n, (d+1)*k/n) of every slice,
+so triple i's three images always land together with no permutation step.
 
 Multi-host: call jax.distributed.initialize() before building the mesh
 (engine.trainer does when env vars are present).
