@@ -315,6 +315,12 @@ _C.TPU.COMPUTE_DTYPE = "bfloat16"
 _C.TPU.MESH_DATA = -1  # -1: use all devices
 # Use the Pallas kernels where available (else pure-XLA formulations).
 _C.TPU.USE_PALLAS = True
+# Run the stem's 7x7/s2 conv in space-to-depth form (exact algebra; MXU
+# packs the 3-channel input 4x better; parameters unaffected). Measured
+# net-NEGATIVE on v5e at the parity config (75.5 vs 77.6 img/s — the input
+# block-transpose costs more than the conv saves), so off by default; kept
+# for hardware where conv0 dominates.
+_C.TPU.STEM_SPACE_TO_DEPTH = False
 # Host data pipeline prefetch depth (device buffers).
 _C.TPU.PREFETCH = 2
 

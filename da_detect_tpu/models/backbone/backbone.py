@@ -41,6 +41,7 @@ class ResNetBackbone(nn.Module):
     stride_in_1x1: bool = True
     res5_dilation: int = 1
     norm: str = "frozen_bn"
+    stem_space_to_depth: bool = False
     fpn_norm: str = "none"
     fpn_use_relu: bool = False
     stage_with_dcn: Sequence[bool] = (False, False, False, False)
@@ -56,7 +57,8 @@ class ResNetBackbone(nn.Module):
             stem_out_channels=self.stem_out_channels,
             res2_out_channels=self.res2_out_channels,
             stride_in_1x1=self.stride_in_1x1, res5_dilation=self.res5_dilation,
-            norm=self.norm, stage_with_dcn=self.stage_with_dcn,
+            norm=self.norm, stem_space_to_depth=self.stem_space_to_depth,
+            stage_with_dcn=self.stage_with_dcn,
             with_modulated_dcn=self.with_modulated_dcn,
             deformable_groups=self.deformable_groups, dtype=self.dtype,
             name="body")(x)
@@ -105,7 +107,8 @@ def build_backbone(cfg) -> tuple[nn.Module, BackboneSpec]:
         stem_out_channels=r.STEM_OUT_CHANNELS,
         res2_out_channels=r.RES2_OUT_CHANNELS,
         stride_in_1x1=r.STRIDE_IN_1X1, res5_dilation=r.RES5_DILATION,
-        norm=norm, fpn_norm="gn" if cfg.MODEL.FPN.USE_GN else "none",
+        norm=norm, stem_space_to_depth=cfg.TPU.STEM_SPACE_TO_DEPTH,
+        fpn_norm="gn" if cfg.MODEL.FPN.USE_GN else "none",
         fpn_use_relu=cfg.MODEL.FPN.USE_RELU,
         stage_with_dcn=tuple(r.STAGE_WITH_DCN),
         with_modulated_dcn=r.WITH_MODULATED_DCN,

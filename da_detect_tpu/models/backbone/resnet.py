@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Any, Callable, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -79,15 +80,65 @@ class Bottleneck(nn.Module):
         return nn.relu(out + shortcut)
 
 
-class Stem(nn.Module):
-    out_channels: int = 64
-    norm: str = "frozen_bn"
+class _StemConv7x7(nn.Module):
+    """The stem's 7x7 stride-2 conv, optionally applied in space-to-depth
+    form: a 3-channel input keeps the MXU ~97% idle (profiled at
+    ~3.7 TFLOP/s), so fold 2x2 pixel blocks into channels and run the exact
+    algebraic equivalent — a 4x4 stride-1 conv over [H/2, W/2, 12] with the
+    7x7 weights scattered into a [4, 4, 12, C] kernel (the MLPerf ResNet
+    conv0 transform). Parameters stay in the reference [7, 7, Cin, C] layout
+    either way, so checkpoints/weight converters are unaffected."""
+
+    features: int = 64
+    space_to_depth: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.out_channels, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, cin, self.features))
+        xd = x.astype(self.dtype)
+        kd = kernel.astype(self.dtype)
+        if not (self.space_to_depth
+                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+            return jax.lax.conv_general_dilated(
+                xd, kd, (2, 2), ((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        b, h, w, _ = x.shape
+        s = xd.reshape(b, h // 2, 2, w // 2, 2, cin)
+        s = s.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * cin)
+        # out[y, x] = sum_{ky, kx} in[2y + ky - 3, 2x + kx - 3] w[ky, kx]
+        # with in[2Y + dy] = s[Y, (dy, :)]:  ky = 2a + dy - 1 for the s2d tap
+        # at offset a - 2 (weights whose ky falls outside [0, 6] are zero)
+        w2 = jnp.zeros((4, 4, 2, 2, cin, self.features), kd.dtype)
+        for a in range(4):
+            for dy in range(2):
+                ky = 2 * a + dy - 1
+                if not 0 <= ky <= 6:
+                    continue
+                for c in range(4):
+                    for dx in range(2):
+                        kx = 2 * c + dx - 1
+                        if 0 <= kx <= 6:
+                            w2 = w2.at[a, c, dy, dx].set(kd[ky, kx])
+        w2 = w2.reshape(4, 4, 4 * cin, self.features)
+        return jax.lax.conv_general_dilated(
+            s, w2, (1, 1), ((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+class Stem(nn.Module):
+    out_channels: int = 64
+    norm: str = "frozen_bn"
+    space_to_depth: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = _StemConv7x7(features=self.out_channels,
+                         space_to_depth=self.space_to_depth,
+                         dtype=self.dtype, name="conv1")(x)
         x = nn.relu(make_norm(self.norm, name="bn1")(x))
         # torch MaxPool2d(kernel=3, stride=2, padding=1)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -155,6 +206,7 @@ class ResNet(nn.Module):
     stride_in_1x1: bool = True
     res5_dilation: int = 1
     norm: str = "frozen_bn"
+    stem_space_to_depth: bool = False
     stage_with_dcn: Sequence[bool] = (False, False, False, False)
     with_modulated_dcn: bool = False
     deformable_groups: int = 1
@@ -163,7 +215,8 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = x.astype(self.dtype)
-        x = Stem(self.stem_out_channels, norm=self.norm, dtype=self.dtype,
+        x = Stem(self.stem_out_channels, norm=self.norm,
+                 space_to_depth=self.stem_space_to_depth, dtype=self.dtype,
                  name="stem")(x)
         outputs = []
         counts = _BLOCK_COUNTS[self.depth]

@@ -159,3 +159,36 @@ def test_train_gradients_flow():
     assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
     total = sum(float(jnp.sum(jnp.abs(g))) for g in flat)
     assert total > 0
+
+
+def test_stem_space_to_depth_exact():
+    """The s2d stem conv is the same function as the 7x7/s2 conv (identical
+    params, same outputs) — MLPerf conv0 transform, resnet.py _StemConv7x7."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from da_detect_tpu.models.backbone.resnet import _StemConv7x7
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 64, 96, 3).astype(np.float32))
+    ref = _StemConv7x7(space_to_depth=False)
+    s2d = _StemConv7x7(space_to_depth=True)
+    variables = ref.init(jax.random.PRNGKey(0), x)
+    a = ref.apply(variables, x)
+    b = s2d.apply(variables, x)
+    assert a.shape == b.shape == (2, 32, 48, 64)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
+    # odd sizes fall back to the plain conv
+    xo = jnp.asarray(rng.randn(1, 63, 95, 3).astype(np.float32))
+    vo = ref.init(jax.random.PRNGKey(1), xo)
+    np.testing.assert_allclose(np.asarray(s2d.apply(vo, xo)),
+                               np.asarray(ref.apply(vo, xo)),
+                               rtol=1e-5, atol=1e-5)
+    # gradients w.r.t. the shared [7,7,3,64] kernel agree too
+    def loss(fn, v):
+        return jnp.sum(fn.apply(v, x) ** 2)
+    ga = jax.grad(lambda v: loss(ref, v))(variables)["params"]["kernel"]
+    gb = jax.grad(lambda v: loss(s2d, v))(variables)["params"]["kernel"]
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                               rtol=1e-4, atol=1e-4)
