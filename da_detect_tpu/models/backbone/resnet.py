@@ -109,20 +109,12 @@ class _StemConv7x7(nn.Module):
         s = xd.reshape(b, h // 2, 2, w // 2, 2, cin)
         s = s.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * cin)
         # out[y, x] = sum_{ky, kx} in[2y + ky - 3, 2x + kx - 3] w[ky, kx]
-        # with in[2Y + dy] = s[Y, (dy, :)]:  ky = 2a + dy - 1 for the s2d tap
-        # at offset a - 2 (weights whose ky falls outside [0, 6] are zero)
-        w2 = jnp.zeros((4, 4, 2, 2, cin, self.features), kd.dtype)
-        for a in range(4):
-            for dy in range(2):
-                ky = 2 * a + dy - 1
-                if not 0 <= ky <= 6:
-                    continue
-                for c in range(4):
-                    for dx in range(2):
-                        kx = 2 * c + dx - 1
-                        if 0 <= kx <= 6:
-                            w2 = w2.at[a, c, dy, dx].set(kd[ky, kx])
-        w2 = w2.reshape(4, 4, 4 * cin, self.features)
+        # with in[2Y + dy] = s[Y, (dy, :)]: tap (a, dy) uses w[2a + dy - 1],
+        # and the out-of-range ky = -1 taps are zero — realized by a front
+        # zero-pad so w2[a, c, dy, dx] = wp[2a + dy, 2c + dx]
+        wp = jnp.pad(kd, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        w2 = wp.reshape(4, 2, 4, 2, cin, self.features).transpose(
+            0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * cin, self.features)
         return jax.lax.conv_general_dilated(
             s, w2, (1, 1), ((2, 1), (2, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))

@@ -146,22 +146,16 @@ def nms_topk_pallas(boxes, scores, valid, iou_threshold, k, *,
     — the kernel's valid mask stops them from keeping or suppressing."""
     masked = jnp.where(valid, scores, -1e30)
     if presorted:
-        keep_sorted = nms_mask_pallas_sorted(boxes, valid, iou_threshold)
-        kept_scores = jnp.where(keep_sorted, masked, -1e30)
-        k_eff = min(k, kept_scores.shape[0])
-        top_scores, idx = lax.top_k(kept_scores, k_eff)
-        if k_eff < k:
-            idx = jnp.concatenate([idx, jnp.zeros(k - k_eff, idx.dtype)])
-            top_scores = jnp.concatenate(
-                [top_scores, jnp.full(k - k_eff, -1e30, top_scores.dtype)])
-        return idx, top_scores > -1e29
-    order = jnp.argsort(-masked)
-    keep_sorted = nms_mask_pallas_sorted(boxes[order], valid[order],
-                                         iou_threshold)
-    kept_scores = jnp.where(keep_sorted, masked[order], -1e30)
+        order = None
+        boxes_s, valid_s, scores_s = boxes, valid, masked
+    else:
+        order = jnp.argsort(-masked)
+        boxes_s, valid_s, scores_s = boxes[order], valid[order], masked[order]
+    keep_sorted = nms_mask_pallas_sorted(boxes_s, valid_s, iou_threshold)
+    kept_scores = jnp.where(keep_sorted, scores_s, -1e30)
     k_eff = min(k, kept_scores.shape[0])
     top_scores, idx_sorted = lax.top_k(kept_scores, k_eff)
-    idx = order[idx_sorted]
+    idx = idx_sorted if order is None else order[idx_sorted]
     if k_eff < k:
         idx = jnp.concatenate([idx, jnp.zeros(k - k_eff, idx.dtype)])
         top_scores = jnp.concatenate(

@@ -58,6 +58,29 @@ def _interp_matrix(starts, bin_sizes, grids, axis_size: int, pooled: int,
     return w.sum(axis=2)                                          # [R, P, A]
 
 
+def _roi_grid(rois, spatial_scale: float, pooled: int, sampling_ratio: int,
+              max_samples: int):
+    """Shared ROI preamble (reference ROIAlign_cuda.cu:70-96): start/size
+    with the >=1 clamp, bin sizes, and the per-ROI adaptive sample grid.
+    rois [..., 4] f32. Returns (start_h, start_w, bin_h, bin_w, grid_h,
+    grid_w). Both the einsum and Pallas paths go through here so their
+    numerics stay in lockstep."""
+    s = sampling_ratio if sampling_ratio > 0 else max_samples
+    start_w = rois[..., 0] * spatial_scale
+    start_h = rois[..., 1] * spatial_scale
+    roi_w = jnp.maximum(rois[..., 2] * spatial_scale - start_w, 1.0)
+    roi_h = jnp.maximum(rois[..., 3] * spatial_scale - start_h, 1.0)
+    bin_w = roi_w / pooled
+    bin_h = roi_h / pooled
+    if sampling_ratio > 0:
+        grid_h = jnp.full_like(roi_h, s)
+        grid_w = jnp.full_like(roi_w, s)
+    else:
+        grid_h = jnp.clip(jnp.ceil(roi_h / pooled), 1, s)
+        grid_w = jnp.clip(jnp.ceil(roi_w / pooled), 1, s)
+    return start_h, start_w, bin_h, bin_w, grid_h, grid_w
+
+
 @partial(jax.jit, static_argnames=("output_size", "sampling_ratio", "max_samples",
                                    "spatial_scale"))
 def roi_align_image(features: jnp.ndarray, rois: jnp.ndarray, *,
@@ -75,24 +98,10 @@ def roi_align_image(features: jnp.ndarray, rois: jnp.ndarray, *,
     # contraction runs in the feature dtype
     dtype = jnp.float32
     rois = rois.astype(dtype)
+    s = sampling_ratio if sampling_ratio > 0 else max_samples
 
-    if sampling_ratio > 0:
-        s = sampling_ratio
-    else:
-        s = max_samples
-
-    start_w = rois[:, 0] * spatial_scale
-    start_h = rois[:, 1] * spatial_scale
-    roi_w = jnp.maximum(rois[:, 2] * spatial_scale - start_w, 1.0)
-    roi_h = jnp.maximum(rois[:, 3] * spatial_scale - start_h, 1.0)
-    bin_w = roi_w / p
-    bin_h = roi_h / p
-    if sampling_ratio > 0:
-        grid_h = jnp.full_like(roi_h, s)
-        grid_w = jnp.full_like(roi_w, s)
-    else:
-        grid_h = jnp.clip(jnp.ceil(roi_h / p), 1, s)
-        grid_w = jnp.clip(jnp.ceil(roi_w / p), 1, s)
+    start_h, start_w, bin_h, bin_w, grid_h, grid_w = _roi_grid(
+        rois, spatial_scale, p, sampling_ratio, max_samples)
 
     ay = _interp_matrix(start_h, bin_h, grid_h, h, p, s, dtype).astype(features.dtype)
     ax = _interp_matrix(start_w, bin_w, grid_w, w, p, s, dtype).astype(features.dtype)
@@ -124,7 +133,8 @@ def roi_align(features: jnp.ndarray, rois: jnp.ndarray, *,
         from . import roi_align_pallas as rap
         if ((jax.default_backend() == "tpu" or rap.INTERPRET)
                 and features.shape[-1] % 128 == 0
-                and rap.fits_vmem(features.shape, features.dtype.itemsize)):
+                and rap.fits_vmem(features.shape, features.dtype.itemsize,
+                                  kwargs.get("output_size", 14))):
             return rap.roi_align_pallas(features, rois, **kwargs)
     return jax.vmap(lambda f, r: roi_align_image(f, r, **kwargs))(features, rois)
 

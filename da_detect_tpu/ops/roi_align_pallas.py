@@ -168,12 +168,12 @@ def _pool_bwd(res, g):
 _pool.defvjp(_pool_fwd, _pool_bwd)
 
 
-def fits_vmem(features_shape, itemsize: int) -> bool:
+def fits_vmem(features_shape, itemsize: int, output_size: int = 14) -> bool:
     """Whether the per-block working set comfortably fits VMEM (~16 MB)."""
     _, h, w, c = features_shape
     cb = _c_blk(c)
     f_block = h * w * cb * itemsize
-    t_block = R_BLK * 14 * w * cb * 4                 # f32 acc, worst-case P=14
+    t_block = R_BLK * output_size * w * cb * 4        # f32 matmul acc
     return f_block + t_block < 8 * 1024 * 1024
 
 
@@ -183,7 +183,7 @@ def roi_align_pallas(features: jnp.ndarray, rois: jnp.ndarray, *,
                      max_samples: int = 4) -> jnp.ndarray:
     """Batched ROIAlign: features [B, H, W, C], rois [B, R, 4] ->
     [B, R, P, P, C]. Drop-in for ops.roi_align.roi_align."""
-    from .roi_align import _interp_matrix
+    from .roi_align import _interp_matrix, _roi_grid
 
     b, h, w, _ = features.shape
     p = output_size
@@ -191,18 +191,8 @@ def roi_align_pallas(features: jnp.ndarray, rois: jnp.ndarray, *,
     rois = rois.astype(dtype)
     s = sampling_ratio if sampling_ratio > 0 else max_samples
 
-    start_w = rois[..., 0] * spatial_scale
-    start_h = rois[..., 1] * spatial_scale
-    roi_w = jnp.maximum(rois[..., 2] * spatial_scale - start_w, 1.0)
-    roi_h = jnp.maximum(rois[..., 3] * spatial_scale - start_h, 1.0)
-    bin_w = roi_w / p
-    bin_h = roi_h / p
-    if sampling_ratio > 0:
-        grid_h = jnp.full_like(roi_h, s)
-        grid_w = jnp.full_like(roi_w, s)
-    else:
-        grid_h = jnp.clip(jnp.ceil(roi_h / p), 1, s)
-        grid_w = jnp.clip(jnp.ceil(roi_w / p), 1, s)
+    start_h, start_w, bin_h, bin_w, grid_h, grid_w = _roi_grid(
+        rois, spatial_scale, p, sampling_ratio, max_samples)
 
     mk = jax.vmap(partial(_interp_matrix, pooled=p, max_samples=s,
                           dtype=dtype), in_axes=(0, 0, 0, None))

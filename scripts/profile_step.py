@@ -4,7 +4,7 @@ Captures a jax.profiler trace of a few steady-state steps on the attached
 TPU and prints the top HLO ops by total device time — the ground-truth
 attribution that step-level ablations can only approximate.
 
-Run ON the TPU: python scripts/profile_step.py [--eval]
+Run ON the TPU: python scripts/profile_step.py [--steps N]
 """
 
 from __future__ import annotations
@@ -73,15 +73,21 @@ def main():
     ev = tr["traceEvents"]
     pids = {e["pid"]: e["args"]["name"] for e in ev
             if e.get("ph") == "M" and e.get("name") == "process_name"}
+    tids = {(e["pid"], e["tid"]): e["args"]["name"] for e in ev
+            if e.get("ph") == "M" and e.get("name") == "thread_name"}
     tpu_pids = [pid for pid, n in pids.items() if "TPU" in n]
-    # thread 'names' group events into lanes (steps / xla ops / etc.)
-    dev = [e for e in ev if e.get("ph") == "X" and e["pid"] in tpu_pids]
-    print(f"TPU events: {len(dev)}")
-
-    # skip the whole-program lane (the jit_step event) — keep leaf HLO ops
-    leaf = [e for e in dev if not e["name"].startswith("jit_")]
+    # only the "XLA Ops" lane holds leaf HLO ops; the "Steps"/"XLA Modules"
+    # lanes carry whole-step spans that would double-count the totals
+    leaf = [e for e in ev if e.get("ph") == "X" and e["pid"] in tpu_pids
+            and tids.get((e["pid"], e["tid"])) == "XLA Ops"]
+    steps_lane = [e for e in ev if e.get("ph") == "X" and e["pid"] in tpu_pids
+                  and tids.get((e["pid"], e["tid"])) == "Steps"]
+    if steps_lane:
+        durs = [e["dur"] / 1e3 for e in steps_lane]
+        print(f"step durations (Steps lane): "
+              f"{', '.join(f'{d:.2f}' for d in durs)} ms")
     total = sum(e.get("dur", 0) for e in leaf) / 1e3 / args.steps
-    print(f"sum of leaf op time: {total:.2f} ms/step")
+    print(f"XLA-op device time: {total:.2f} ms/step ({len(leaf)} events)")
 
     agg = collections.Counter()
     for e in leaf:
