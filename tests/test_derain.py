@@ -60,3 +60,68 @@ def test_kpn_reduces_rain():
     final_err = float(jnp.mean((final_pred - clean_j) ** 2))
     assert losses[-1] < losses[0] * 0.5, losses[:3] + losses[-3:]
     assert final_err < base_err, (final_err, base_err)
+
+
+def test_ssim_matches_numpy_reference():
+    """SSIM vs a direct numpy port of the reference pytorch_ssim formula
+    (efficientderain-master/pytorch_ssim/__init__.py:7-37)."""
+    import math
+
+    from scipy.ndimage import convolve  # noqa: F401  (guard: scipy present?)
+    from da_detect_tpu.ops.ssim import psnr, ssim
+
+    rng = np.random.RandomState(3)
+    a = rng.rand(2, 24, 32, 3).astype(np.float32)
+    b = np.clip(a + rng.randn(2, 24, 32, 3).astype(np.float32) * 0.05, 0, 1)
+
+    # numpy reference
+    ws, sigma = 11, 1.5
+    g = np.asarray([math.exp(-((x - ws // 2) ** 2) / (2 * sigma ** 2))
+                    for x in range(ws)], np.float32)
+    g /= g.sum()
+    win = np.outer(g, g)
+
+    def blur(x):
+        out = np.zeros_like(x)
+        for n in range(x.shape[0]):
+            for c in range(x.shape[-1]):
+                out[n, :, :, c] = convolve(x[n, :, :, c], win,
+                                           mode="constant")
+        return out
+
+    mu1, mu2 = blur(a), blur(b)
+    s1 = blur(a * a) - mu1 ** 2
+    s2 = blur(b * b) - mu2 ** 2
+    s12 = blur(a * b) - mu1 * mu2
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    want = (((2 * mu1 * mu2 + c1) * (2 * s12 + c2))
+            / ((mu1 ** 2 + mu2 ** 2 + c1) * (s1 + s2 + c2))).mean()
+    got = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+    # identity and monotonicity sanity
+    assert float(ssim(jnp.asarray(a), jnp.asarray(a))) > 0.999
+    assert float(psnr(jnp.asarray(a), jnp.asarray(a))) > 100
+
+
+def test_derain_trainer_end_to_end(tmp_path):
+    """The CLI trainer learns on a tiny synthetic-rain dataset and writes a
+    checkpoint (reference trainer.py Pre_train path)."""
+    import cv2
+
+    from da_detect_tpu.tools import train_derain
+
+    rng = np.random.RandomState(0)
+    clean_dir = tmp_path / "clean"
+    clean_dir.mkdir()
+    for i in range(4):
+        img = np.zeros((80, 96, 3), np.uint8)
+        cv2.circle(img, (20 + 10 * i, 40), 14, (40 + 40 * i, 160, 220), -1)
+        img = (img.astype(np.float32)
+               + rng.randint(0, 60, (80, 96, 3))).clip(0, 255)
+        cv2.imwrite(str(clean_dir / f"{i}.png"), img.astype(np.uint8))
+
+    out = tmp_path / "out"
+    train_derain.main(["--clean-dir", str(clean_dir), "--iters", "6",
+                       "--batch", "2", "--crop", "64", "--val-period", "6",
+                       "--log-period", "3", "--out", str(out)])
+    assert (out / "kpn_final.npz").exists()
