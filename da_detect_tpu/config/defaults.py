@@ -287,6 +287,9 @@ _C.SOLVER.IMS_PER_BATCH = 16
 _C.TEST = CN()
 _C.TEST.EXPECTED_RESULTS = ()
 _C.TEST.EXPECTED_RESULTS_SIGMA_TOL = 4
+# "coco" (pycocotools protocol) or "cityscapes" (the instance-level AP of
+# cityscapesScripts, which the reference vendors for its conversion tooling)
+_C.TEST.EVAL_STYLE = "coco"
 _C.TEST.IMS_PER_BATCH = 8
 _C.TEST.DETECTIONS_PER_IMG = 100
 # Test-time augmentation. The reference ships engine/bbox_aug.py + the

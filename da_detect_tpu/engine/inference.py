@@ -62,7 +62,7 @@ def compute_on_dataset(model, variables, data_loader, progress_every: int = 50,
 
 def inference(model, variables, data_loader, dataset, *, iou_types=("bbox",),
               output_folder: str | None = None, expected_results=None,
-              expected_results_sigma_tol: float = 4.0):
+              expected_results_sigma_tol: float = 4.0, style: str = "coco"):
     """Full eval: predictions + dataset-specific evaluation
     (reference inference.py:76-129). Multi-host: every process evaluates its
     loader shard; predictions are merged across processes."""
@@ -73,7 +73,7 @@ def inference(model, variables, data_loader, dataset, *, iou_types=("bbox",),
         predictions = comm.accumulate_predictions(predictions)
     from ..data.evaluation import evaluate
     results = evaluate(dataset, predictions, output_folder=output_folder,
-                       iou_types=iou_types)
+                       iou_types=iou_types, style=style)
     if expected_results:
         check_expected_results(results, expected_results,
                                expected_results_sigma_tol)

@@ -102,6 +102,7 @@ def run_eval(cfg, logger, model, state, sharding=None):
                 model, variables, loader, dataset, iou_types=iou_types,
                 output_folder=cfg.MODEL.OUTPUT_DIR,
                 expected_results=cfg.TEST.EXPECTED_RESULTS,
-                expected_results_sigma_tol=cfg.TEST.EXPECTED_RESULTS_SIGMA_TOL)
+                expected_results_sigma_tol=cfg.TEST.EXPECTED_RESULTS_SIGMA_TOL,
+                style=cfg.TEST.EVAL_STYLE)
         results[name] = res
     return results
