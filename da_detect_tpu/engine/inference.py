@@ -57,6 +57,12 @@ def compute_on_dataset(model, variables, data_loader, progress_every: int = 50,
     total = time.perf_counter() - t0
     log.info("total eval time: %.1fs (%.4f s/img, %d images)", total,
              total / max(n_images, 1), n_images)
+    if n_images == 0:
+        # a consumed (one-shot) loader would otherwise evaluate nothing and
+        # report NaN APs silently
+        raise RuntimeError(
+            "evaluation loader yielded no images — eval loaders are "
+            "single-pass; build a fresh one per inference() call")
     return predictions
 
 

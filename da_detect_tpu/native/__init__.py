@@ -121,6 +121,12 @@ def prep_image(src_bgr_u8: np.ndarray, canvas_hw, resized_hw, pixel_mean,
     src = np.ascontiguousarray(src_bgr_u8, np.uint8)
     ch, cw = canvas_hw
     rh, rw = resized_hw
+    if rh > ch or rw > cw:
+        # the numpy fallback raises a broadcast ValueError for this
+        # misconfiguration; the C kernel would write out of bounds
+        raise ValueError(
+            f"resized image {rh}x{rw} exceeds canvas {ch}x{cw} "
+            "(INPUT.MIN/MAX_SIZE inconsistent with TPU.IMAGE_SHAPE)")
     out = np.empty((ch, cw, 3), np.float32)
     mean = np.ascontiguousarray(pixel_mean, np.float32)
     std = np.ascontiguousarray(pixel_std, np.float32)

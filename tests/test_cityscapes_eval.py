@@ -97,3 +97,14 @@ def test_absent_class_is_nan_and_excluded_from_mean():
     assert np.all(np.isnan(ap[1]))
     avg = compute_averages(ap, ["cls1", "cls2"])
     assert avg["allAp"] == 1.0  # nanmean skips the absent class
+
+
+def test_consumed_loader_fails_loudly():
+    """A one-shot eval loader that yields nothing must raise instead of
+    silently evaluating zero images (engine/inference.py guard)."""
+    import pytest
+
+    from da_detect_tpu.engine.inference import compute_on_dataset
+
+    with pytest.raises(RuntimeError, match="yielded no images"):
+        compute_on_dataset(None, None, [])

@@ -80,3 +80,12 @@ def test_native_prep_matches_numpy_path():
               - np.asarray((0.485, 0.456, 0.406), np.float32)) / np.asarray(
                   (0.229, 0.224, 0.225), np.float32)
     np.testing.assert_allclose(got[:60, :90], manual, rtol=1e-4, atol=1e-4)
+
+
+def test_native_prep_rejects_undersized_canvas():
+    """Resize target larger than the canvas must raise (the numpy path
+    raises a broadcast error; the C kernel would write out of bounds)."""
+    import pytest
+    img = np.zeros((100, 120, 3), np.uint8)
+    with pytest.raises(ValueError, match="exceeds canvas"):
+        native.prep_image(img, (64, 96), (100, 120), (0, 0, 0), (1, 1, 1))
