@@ -323,6 +323,9 @@ def make_box_feature_extractor(cfg, dtype):
             num_stacked_convs=h.NUM_STACKED_CONVS, mlp_dim=h.MLP_HEAD_DIM,
             use_gn=h.USE_GN, dilation=h.DILATION, dtype=dtype,
             name="feature_extractor"), h.MLP_HEAD_DIM
+    if name == "FBNet.roi_head":
+        from .backbone.fbnet import make_fbnet_roi_head
+        return make_fbnet_roi_head(cfg, dtype)
     raise KeyError(f"unknown feature extractor: {name}")
 
 

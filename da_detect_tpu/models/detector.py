@@ -62,10 +62,16 @@ class GeneralizedRCNN(nn.Module):
     rpn_loss_cfg: dict
     sample_cfg: dict
     post_cfg: dict
+    rpn_head_module: Optional[nn.Module] = None
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.rpn_head = RPNHead(num_anchors=self.num_anchors, dtype=self.dtype)
+        # custom head (e.g. FBNet.rpn_head) or the standard 3x3-conv head
+        if self.rpn_head_module is not None:
+            self.rpn_head = self.rpn_head_module
+        else:
+            self.rpn_head = RPNHead(num_anchors=self.num_anchors,
+                                    dtype=self.dtype)
 
     # -- shared trunk ------------------------------------------------------
     def _features_and_rpn(self, images):
@@ -263,6 +269,13 @@ def build_detection_model(cfg):
     gen = make_anchor_generator(cfg)
     rpn = cfg.MODEL.RPN
     roi = cfg.MODEL.ROI_HEADS
+    rpn_head_module = None
+    if rpn.RPN_HEAD == "FBNet.rpn_head":
+        from .backbone.fbnet import make_fbnet_rpn_head
+        rpn_head_module = make_fbnet_rpn_head(
+            cfg, gen.num_anchors_per_location, dtype)
+    elif rpn.RPN_HEAD != "SingleConvRPNHead":
+        raise KeyError(f"unknown RPN_HEAD: {rpn.RPN_HEAD}")
     model = GeneralizedRCNN(
         backbone=backbone,
         feature_extractor=extractor,
@@ -293,6 +306,7 @@ def build_detection_model(cfg):
             detections_per_img=roi.DETECTIONS_PER_IMG,
             reg_weights=tuple(roi.BBOX_REG_WEIGHTS),
             cls_agnostic=cfg.MODEL.CLS_AGNOSTIC_BBOX_REG),
+        rpn_head_module=rpn_head_module,
         dtype=dtype,
     )
     return model

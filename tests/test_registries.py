@@ -67,16 +67,47 @@ def test_vgg_backbone():
     assert spec.strides == (16,)
 
 
-def test_fbnet_backbone():
+@pytest.mark.parametrize("arch", ["default", "xirb16d_dsmask",
+                                  "mobilenet_v2", "cham_v1a", "cham_v2"])
+def test_fbnet_backbone(arch):
     cfg = get_cfg()
     cfg.TPU.COMPUTE_DTYPE = "float32"
     cfg.MODEL.BACKBONE.CONV_BODY = "FBNet"
+    cfg.MODEL.FBNET.ARCH = arch
+    cfg.MODEL.FBNET.WIDTH_DIVISOR = 8
     module, spec = build_backbone(cfg)
     x = jnp.asarray(np.random.RandomState(0).randn(1, 64, 64, 3)
                     .astype(np.float32))
     variables = module.init(jax.random.PRNGKey(0), x)
     feats = module.apply(variables, x)
     assert feats[0].shape == (1, 4, 4, spec.out_channels)
+
+
+def test_fbnet_heads_build_and_run():
+    """FBNet.rpn_head / FBNet.roi_head (the names the reference fbnet
+    configs select) produce correctly-shaped outputs."""
+    from da_detect_tpu.models.backbone.fbnet import (make_fbnet_roi_head,
+                                                     make_fbnet_rpn_head)
+    cfg = get_cfg()
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.MODEL.FBNET.WIDTH_DIVISOR = 8
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 6
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_SCALES = (0.0625,)
+    rng = np.random.RandomState(1)
+    feats = [jnp.asarray(rng.randn(2, 8, 8, 96).astype(np.float32))]
+
+    rpn = make_fbnet_rpn_head(cfg, num_anchors=15, dtype=jnp.float32)
+    v = rpn.init(jax.random.PRNGKey(0), feats)
+    logits, deltas = rpn.apply(v, feats)
+    assert logits[0].shape == (2, 8, 8, 15)
+    assert deltas[0].shape == (2, 8, 8, 60)
+
+    roi, out_ch = make_fbnet_roi_head(cfg, jnp.float32)
+    rois = jnp.asarray(rng.uniform(0, 100, (2, 5, 4)).astype(np.float32))
+    rois = rois.at[..., 2:].set(rois[..., :2] + 32)
+    v = roi.init(jax.random.PRNGKey(0), feats, rois)
+    out = roi.apply(v, feats, rois)
+    assert out.shape[:2] == (2, 5) and out.shape[-1] == out_ch == 240
 
 
 EXTRACTORS = [
