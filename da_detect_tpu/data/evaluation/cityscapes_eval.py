@@ -88,10 +88,14 @@ def match_gts_with_preds(dataset, predictions, use_masks: bool = False,
                          mask_thresh: float = 0.5):
     """Per image: list every (gt, pred) pair of the same class with nonzero
     intersection (eval_instances.py matchGtWithPred)."""
+    missing = [i for i in dataset.ids if i not in predictions]
+    if missing:
+        raise ValueError(
+            f"predictions missing for {len(missing)} images (e.g. "
+            f"{missing[:3]}); the protocol scores every dataset image "
+            "(eval_instances.py:150 asserts equal lengths)")
     matches = []
     for idx, img_id in enumerate(dataset.ids):
-        if img_id not in predictions:
-            continue
         info = dataset.get_img_info(idx)
         h, w = info["height"], info["width"]
         anns = dataset.anns[img_id]
@@ -101,7 +105,9 @@ def match_gts_with_preds(dataset, predictions, use_masks: bool = False,
         gts = []
         for a, m in zip(anns, gt_masks):
             x, y, bw, bh = a["bbox"]
-            box = _int_box((x, y, x + bw, y + bh))
+            # legacy inclusive xyxy (x2 = x + w - 1), the BoxList convention
+            # the reference evaluator receives (eval_instances.py:286 .long())
+            box = _int_box((x, y, x + bw - 1, y + bh - 1))
             gts.append({
                 "label": dataset.json_category_id_to_contiguous_id[
                     a["category_id"]],
@@ -122,10 +128,11 @@ def match_gts_with_preds(dataset, predictions, use_masks: bool = False,
             if use_masks and p.get("mask_probs") is not None:
                 from ..masker import paste_single_crop
                 crop, (oy, ox) = paste_single_crop(
-                    np.asarray(p["mask_probs"][di]), b, (h, w))
+                    np.asarray(p["mask_probs"][di]), b, (h, w),
+                    threshold=mask_thresh)
                 mask = np.zeros((h, w), bool)
                 ch, cw = crop.shape
-                mask[oy:oy + ch, ox:ox + cw] = crop > mask_thresh
+                mask[oy:oy + ch, ox:ox + cw] = crop
             preds.append({
                 "label": int(l),
                 "box": box,
@@ -136,10 +143,12 @@ def match_gts_with_preds(dataset, predictions, use_masks: bool = False,
                 "matchedGt": [],
             })
 
+        # every overlapping pair registers, regardless of class — the
+        # reference groups by class only AFTER matching, so cross-class
+        # pairs participate in TPs and ignore absorption
+        # (eval_instances.py:230-255)
         for gt in gts:
             for pred in preds:
-                if gt["label"] != pred["label"]:
-                    continue
                 if not _overlapping(gt["box"], pred["box"]):
                     continue
                 inter = (_mask_intersection(gt, pred) if use_masks
@@ -148,6 +157,8 @@ def match_gts_with_preds(dataset, predictions, use_masks: bool = False,
                     continue
                 gt["matchedPred"].append({"pred": pred, "intersection": inter})
                 pred["matchedGt"].append({"gt": gt, "intersection": inter})
+        for inst in gts + preds:
+            inst["mask"] = None   # intersections computed; free the full-res masks
         matches.append({"gts": gts, "preds": preds})
     return matches
 

@@ -58,11 +58,9 @@ def compute_on_dataset(model, variables, data_loader, progress_every: int = 50,
     log.info("total eval time: %.1fs (%.4f s/img, %d images)", total,
              total / max(n_images, 1), n_images)
     if n_images == 0:
-        # a consumed (one-shot) loader would otherwise evaluate nothing and
-        # report NaN APs silently
-        raise RuntimeError(
-            "evaluation loader yielded no images — eval loaders are "
-            "single-pass; build a fresh one per inference() call")
+        # may be legitimate under multi-host sharding (shard smaller than
+        # process count); inference() raises after the cross-process merge
+        log.warning("evaluation loader yielded no images on this process")
     return predictions
 
 
@@ -77,6 +75,12 @@ def inference(model, variables, data_loader, dataset, *, iou_types=("bbox",),
     from ..utils import comm
     if comm.get_world_size() > 1:
         predictions = comm.accumulate_predictions(predictions)
+    if not predictions:
+        # a consumed (one-shot) loader would otherwise evaluate nothing and
+        # report NaN APs silently
+        raise RuntimeError(
+            "evaluation produced no predictions — eval loaders are "
+            "single-pass; build a fresh one per inference() call")
     from ..data.evaluation import evaluate
     results = evaluate(dataset, predictions, output_folder=output_folder,
                        iou_types=iou_types, style=style)

@@ -45,6 +45,23 @@ class MaskRCNNC4Predictor(nn.Module):
         return x.reshape((b, r) + x.shape[1:])
 
 
+class MaskRCNNConv1x1Predictor(nn.Module):
+    """1x1 per-class logits, no deconv (reference roi_mask_predictors.py
+    MaskRCNNConv1x1Predictor; the fbnet mask configs select it — their mask
+    stage already upsamples to RESOLUTION)."""
+
+    num_classes: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, r = x.shape[:2]
+        x = x.reshape((b * r,) + x.shape[2:]).astype(self.dtype)
+        x = nn.Conv(self.num_classes, (1, 1), kernel_init=_kaiming,
+                    name="mask_fcn_logits")(x)
+        return x.reshape((b, r) + x.shape[1:])
+
+
 class MaskRCNNFPNFeatureExtractor(nn.Module):
     """14x14 pooler + 4 3x3 convs (reference roi_mask_feature_extractors.py)."""
 
@@ -147,17 +164,31 @@ def mask_rcnn_loss(mask_head, det_feats, sampled, targets,
 
 def make_mask_head(cfg, dtype):
     h = cfg.MODEL.ROI_MASK_HEAD
-    predictor = MaskRCNNC4Predictor(
-        num_classes=cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES,
-        dim_reduced=h.CONV_LAYERS[-1] if h.CONV_LAYERS else 256,
-        dtype=dtype, name="mask_predictor")
+    nc = cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES
+    if h.PREDICTOR == "MaskRCNNC4Predictor":
+        predictor = MaskRCNNC4Predictor(
+            num_classes=nc,
+            dim_reduced=h.CONV_LAYERS[-1] if h.CONV_LAYERS else 256,
+            dtype=dtype, name="mask_predictor")
+    elif h.PREDICTOR == "MaskRCNNConv1x1Predictor":
+        predictor = MaskRCNNConv1x1Predictor(num_classes=nc, dtype=dtype,
+                                             name="mask_predictor")
+    else:
+        raise KeyError(f"unknown mask predictor: {h.PREDICTOR}")
     if h.SHARE_BOX_FEATURE_EXTRACTOR:
         extractor = None
-    else:
+    elif h.FEATURE_EXTRACTOR == "FBNet.roi_head_mask":
+        from .backbone.fbnet import make_fbnet_mask_extractor
+        extractor = make_fbnet_mask_extractor(cfg, dtype)
+    elif h.FEATURE_EXTRACTOR in ("MaskRCNNFPNFeatureExtractor",
+                                 "ResNet50Conv5ROIFeatureExtractor"):
+        # the C4 path shares the box extractor via SHARE_BOX_FEATURE_EXTRACTOR
         pooler = dict(scales=tuple(h.POOLER_SCALES),
                       output_size=h.POOLER_RESOLUTION,
                       sampling_ratio=h.POOLER_SAMPLING_RATIO)
         extractor = MaskRCNNFPNFeatureExtractor(
             pooler=pooler, layers=tuple(h.CONV_LAYERS), dilation=h.DILATION,
             use_gn=h.USE_GN, dtype=dtype, name="mask_extractor")
+    else:
+        raise KeyError(f"unknown mask extractor: {h.FEATURE_EXTRACTOR}")
     return MaskHead(predictor=predictor, extractor=extractor, name="mask_head")

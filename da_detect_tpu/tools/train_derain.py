@@ -61,10 +61,10 @@ def _sample_batch(pairs, crop: int, batch: int, rng: np.random.RandomState):
         h, w = clean.shape[:2]
         if h < crop or w < crop:
             py, px = max(0, crop - h), max(0, crop - w)
-            clean = np.pad(clean, ((0, py), (0, px), (0, 0)), mode="reflect")
+            clean = np.pad(clean, ((0, py), (0, px), (0, 0)), mode="edge")
             if rainy is not None:
                 rainy = np.pad(rainy, ((0, py), (0, px), (0, 0)),
-                               mode="reflect")
+                               mode="edge")
             h, w = clean.shape[:2]
         y = rng.randint(h - crop + 1)
         x = rng.randint(w - crop + 1)

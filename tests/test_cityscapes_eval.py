@@ -56,12 +56,13 @@ def test_high_scored_fp_and_missed_gt():
 
 
 def test_overlap_threshold_splits_ap50_ap75():
-    """A pred with IoU ~0.56 counts at 0.50 but is an FP at 0.75+; since it
-    is the only (highest-score) prediction, AP is 1 below and 0 above."""
+    """A pred with IoU ~0.71 counts at 0.50 but is an FP at 0.75+.
+
+    GT ann xywh (0,0,100,100) -> inclusive xyxy (0,0,99,99), area 9801;
+    pred (0,0,99,70) -> intersection 99*70 = 6930 = its own area, so
+    IoU = 6930 / 9801 = 0.707."""
     ds = FakeDataset([[_ann(0, 0, 100, 100)]], num_classes=1)
-    preds = {0: _pred([[0, 0, 100, 75]], [0.8], [1])}  # IoU = 0.75 exactly?
-    # box intersection = 100*75 = 7500; union = 10000 -> IoU 0.75: at the
-    # 0.75 threshold the reference uses strict >, so it fails there
+    preds = {0: _pred([[0, 0, 99, 70]], [0.8], [1])}
     res = do_cityscapes_evaluation(ds, preds)
     assert res["bbox"]["allAp50%"] == 1.0
     assert res["bbox"]["allAp75%"] == 0.0
@@ -100,11 +101,29 @@ def test_absent_class_is_nan_and_excluded_from_mean():
 
 
 def test_consumed_loader_fails_loudly():
-    """A one-shot eval loader that yields nothing must raise instead of
-    silently evaluating zero images (engine/inference.py guard)."""
+    """A one-shot eval loader that yields nothing must raise after the
+    (single-process) merge instead of silently evaluating zero images;
+    per-process empty shards only warn (multi-host eval shards can be
+    legitimately empty)."""
     import pytest
 
-    from da_detect_tpu.engine.inference import compute_on_dataset
+    from da_detect_tpu.engine.inference import compute_on_dataset, inference
 
-    with pytest.raises(RuntimeError, match="yielded no images"):
-        compute_on_dataset(None, None, [])
+    assert compute_on_dataset(None, None, []) == {}
+    with pytest.raises(RuntimeError, match="no predictions"):
+        inference(None, None, [], None)
+
+
+def test_cross_class_match_counts_for_gt_class():
+    """The reference registers matches BEFORE grouping by class
+    (eval_instances.py:230-268), so an overlapping prediction of another
+    class can turn a GT into a TP during that GT's class sweep. Here the
+    class-1 GT is covered by a class-2 prediction (s=.9) and class 1 also
+    has a far-away FP (s=.5): the TP outranks the FP, AP stays 1.0. A
+    same-class-only matcher would report AP 0."""
+    ds = FakeDataset([[_ann(10, 10, 110, 110, cat=10)]], num_classes=2)
+    preds = {0: _pred([[10, 10, 109, 109], [200, 150, 240, 180]],
+                      [0.9, 0.5], [2, 1])}
+    matches = match_gts_with_preds(ds, preds)
+    ap = evaluate_matches(matches, [1, 2])
+    np.testing.assert_allclose(ap[0, 0], 1.0)

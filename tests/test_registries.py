@@ -167,3 +167,21 @@ def test_dcn_backbone_forward():
     assert "conv_offset" in p
     feats = module.apply(variables, x)
     assert np.all(np.isfinite(np.asarray(feats[0])))
+
+
+def test_fbnet_mask_extractor_upsamples_to_resolution():
+    """The fbnet mask stage's -2 strides upsample pooled 6x6 ROIs to the
+    12x12 mask RESOLUTION the fbnet mask configs declare."""
+    from da_detect_tpu.models.backbone.fbnet import make_fbnet_mask_extractor
+    cfg = get_cfg()
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.MODEL.FBNET.WIDTH_DIVISOR = 8
+    cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION = 6
+    cfg.MODEL.ROI_MASK_HEAD.POOLER_SCALES = (0.0625,)
+    ext = make_fbnet_mask_extractor(cfg, jnp.float32)
+    rng = np.random.RandomState(2)
+    feats = [jnp.asarray(rng.randn(1, 8, 8, 96).astype(np.float32))]
+    rois = jnp.asarray([[[0, 0, 64, 64], [8, 8, 90, 100]]], jnp.float32)
+    v = ext.init(jax.random.PRNGKey(0), feats, rois)
+    out = ext.apply(v, feats, rois)
+    assert out.shape[:2] == (1, 2) and out.shape[2:4] == (12, 12)
