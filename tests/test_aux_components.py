@@ -93,3 +93,26 @@ def test_masker_paste():
     assert 20 <= ys.min() and ys.max() <= 61
     crop, (y0, x0) = paste_single_crop(prob, boxes[0], (100, 100))
     assert crop.sum() == out[0].sum()
+
+
+def test_coco_demo_runs_on_image():
+    """COCODemo.run_on_opencv_image end-to-end (reference demo/predictor.py
+    COCODemo:173-263): transform -> jitted forward -> threshold -> overlay."""
+    import numpy as np
+
+    from da_detect_tpu.config import get_cfg
+    from da_detect_tpu.demo.predictor import COCODemo
+
+    cfg = get_cfg()
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.IMAGE_SHAPE = (64, 96)
+    cfg.INPUT.MIN_SIZE_TEST = 60
+    cfg.INPUT.MAX_SIZE_TEST = 96
+    cfg.MODEL.RPN.PRE_NMS_TOP_N_TEST = 100
+    cfg.MODEL.RPN.POST_NMS_TOP_N_TEST = 20
+    demo = COCODemo(cfg, confidence_threshold=0.0)
+    img = (np.random.RandomState(0).rand(50, 70, 3) * 255).astype(np.uint8)
+    out = demo.run_on_opencv_image(img)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    boxes, scores, labels = demo.compute_prediction(img)
+    assert boxes.shape[1] == 4 and len(scores) == len(labels) == len(boxes)
