@@ -324,6 +324,13 @@ _C.TPU.USE_PALLAS = True
 # block-transpose costs more than the conv saves), so off by default; kept
 # for hardware where conv0 dominates.
 _C.TPU.STEM_SPACE_TO_DEPTH = False
+# Aligned-triplet mode: reuse the detection pass's pooled target-instance
+# features as the triplet's positive member instead of re-pooling them with
+# an independent subsample draw (reference generalized_rcnn.py:109-114 draws
+# independently). Identical feature/subsample distribution — only the draw
+# is shared with the DA-instance loss — and saves one full ROI-head pass per
+# step. Off by default for reference fidelity.
+_C.TPU.SHARE_POSITIVE_POOL = False
 # Host data pipeline prefetch depth (device buffers).
 _C.TPU.PREFETCH = 2
 

@@ -63,6 +63,7 @@ class GeneralizedRCNN(nn.Module):
     sample_cfg: dict
     post_cfg: dict
     rpn_head_module: Optional[nn.Module] = None
+    share_positive_pool: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -225,11 +226,20 @@ class GeneralizedRCNN(nn.Module):
                 if aligned:
                     # pool the positive slice's proposals from each domain's
                     # features (reference generalized_rcnn.py:109-114),
-                    # independent subsample per pass
+                    # independent subsample per pass. With
+                    # share_positive_pool (TPU.SHARE_POSITIVE_POOL) the
+                    # positive member reuses the detection pass's pooled
+                    # target features (x_t): same features, same proposal
+                    # set, same subsample distribution — only the RNG draw
+                    # is shared with the DA-ins loss instead of independent,
+                    # saving one full ROI-head pass per step
                     da_ins_set = []
                     for fd, tg, src in ((feats_s, targets_s, True),
                                         (feats_t, targets_t, False),
                                         (feats_n, targets_n, False)):
+                        if self.share_positive_pool and fd is feats_t:
+                            da_ins_set.append(x_t)
+                            continue
                         d_key = self.make_rng("sampling")
                         samp = subsample_proposals(
                             d_key, props_t.boxes, props_t.valid, tg.boxes,
@@ -307,6 +317,7 @@ def build_detection_model(cfg):
             reg_weights=tuple(roi.BBOX_REG_WEIGHTS),
             cls_agnostic=cfg.MODEL.CLS_AGNOSTIC_BBOX_REG),
         rpn_head_module=rpn_head_module,
+        share_positive_pool=cfg.TPU.SHARE_POSITIVE_POOL,
         dtype=dtype,
     )
     return model

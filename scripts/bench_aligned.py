@@ -21,31 +21,34 @@ def main():
     from da_detect_tpu.engine.trainer import create_train_state, make_train_step
     from da_detect_tpu.models import build_detection_model
 
-    cfg = g._flagship_cfg(canvas=(608, 1216), train_tops=(12000, 2000),
-                          test_tops=(6000, 1000))
-    cfg.TPU.MAX_GT_BOXES = 64
-    cfg.SOLVER.IMS_PER_BATCH = 2
-    model = build_detection_model(cfg)
-    sample = []
-    for d, src in ((0, True), (1, False), (2, False)):
-        b, t = g._batch(cfg, 1, seed=d, is_source=src)
-        sample += [b, t]
-    sample = tuple(sample)
-    state, tx = create_train_state(cfg, model, jax.random.PRNGKey(0), sample,
-                                   "cosine")
-    step = make_train_step(model, tx, aligned=True)
-    state, m = step(state, *sample)
-    float(m["loss_total"])
-    for _ in range(3):
+    for share in (False, True):
+        cfg = g._flagship_cfg(canvas=(608, 1216), train_tops=(12000, 2000),
+                              test_tops=(6000, 1000))
+        cfg.TPU.MAX_GT_BOXES = 64
+        cfg.SOLVER.IMS_PER_BATCH = 2
+        cfg.TPU.SHARE_POSITIVE_POOL = share
+        model = build_detection_model(cfg)
+        sample = []
+        for d, src in ((0, True), (1, False), (2, False)):
+            b, t = g._batch(cfg, 1, seed=d, is_source=src)
+            sample += [b, t]
+        sample = tuple(sample)
+        state, tx = create_train_state(cfg, model, jax.random.PRNGKey(0),
+                                       sample, "cosine")
+        step = make_train_step(model, tx, aligned=True)
         state, m = step(state, *sample)
-    float(m["loss_total"])
-    iters = 15
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, m = step(state, *sample)
-    float(m["loss_total"])
-    dt = (time.perf_counter() - t0) / iters
-    print(f"aligned triplet step: {dt * 1e3:.1f} ms, {3 / dt:.1f} img/s")
+        float(m["loss_total"])
+        for _ in range(3):
+            state, m = step(state, *sample)
+        float(m["loss_total"])
+        iters = 15
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = step(state, *sample)
+        float(m["loss_total"])
+        dt = (time.perf_counter() - t0) / iters
+        print(f"aligned triplet step (share_positive_pool={share}): "
+              f"{dt * 1e3:.1f} ms, {3 / dt:.1f} img/s")
 
 
 if __name__ == "__main__":

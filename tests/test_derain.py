@@ -29,8 +29,15 @@ def test_shift_kernel_application():
 
 
 def test_kpn_reduces_rain():
+    # clean must be spatially smooth: the KPN's softmaxed kernels are convex
+    # neighborhood weights, so rain is only removable by interpolating from
+    # neighbors (pure-noise "images" made this a coin-flip near base error)
     rng = np.random.RandomState(2)
-    clean = rng.rand(2, 32, 32, 3).astype(np.float32)
+    yy, xx = np.mgrid[0:32, 0:32].astype(np.float32) / 32.0
+    base_img = 0.5 + 0.4 * np.sin(2 * np.pi * (yy + 0.5 * xx))
+    clean = np.stack([np.clip(base_img + 0.05 * rng.randn(32, 32), 0, 1)
+                      for _ in range(2)], 0).astype(np.float32)
+    clean = np.repeat(clean[..., None], 3, axis=-1)
     rain = clean.copy()
     rain[:, :, ::4, :] = np.minimum(rain[:, :, ::4, :] + 0.7, 1.0)
     clean_j, rain_j = jnp.asarray(clean), jnp.asarray(rain)
@@ -59,7 +66,7 @@ def test_kpn_reduces_rain():
     final_pred = model.apply({"params": params}, rain_j)
     final_err = float(jnp.mean((final_pred - clean_j) ** 2))
     assert losses[-1] < losses[0] * 0.5, losses[:3] + losses[-3:]
-    assert final_err < base_err, (final_err, base_err)
+    assert final_err < base_err * 0.2, (final_err, base_err)
 
 
 def test_ssim_matches_numpy_reference():

@@ -118,6 +118,29 @@ def test_train_forward_da_triplet():
     assert np.isfinite(float(new_state.last_triplet_img))
 
 
+def test_train_forward_da_triplet_shared_positive_pool():
+    """TPU.SHARE_POSITIVE_POOL reuses the detection pass's pooled target
+    features as the aligned triplet's positive member — same loss surface,
+    one fewer ROI-head pass."""
+    cfg = tiny_cfg()
+    cfg.MODEL.DOMAIN_ADAPTATION_ON = True
+    cfg.MODEL.DA_HEADS.DA_TRIPLET_INS_WEIGHT = 1.0
+    cfg.TPU.SHARE_POSITIVE_POOL = True
+    model = build_detection_model(cfg)
+    bs, ts = make_batch(1, seed=0, is_source=True)
+    bt, tt = make_batch(1, seed=1, is_source=False)
+    bn, tn = make_batch(1, seed=2, is_source=False)
+    da_state = DAState.create()
+    variables = model.init(TRAIN_RNGS, bs, ts, da_state, bt, tt, bn, tn,
+                           aligned=True, method=model.train_forward)
+    losses, _ = model.apply(
+        variables, bs, ts, da_state, bt, tt, bn, tn, aligned=True,
+        method=model.train_forward, rngs=APPLY_RNGS)
+    assert "triplet_loss_instance" in losses
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, v)
+
+
 def test_train_forward_da_two_domain():
     cfg = tiny_cfg()
     cfg.MODEL.DOMAIN_ADAPTATION_ON = True
