@@ -234,10 +234,11 @@ class GeneralizedRCNN(nn.Module):
                     # is shared with the DA-ins loss instead of independent,
                     # saving one full ROI-head pass per step
                     da_ins_set = []
-                    for fd, tg, src in ((feats_s, targets_s, True),
-                                        (feats_t, targets_t, False),
-                                        (feats_n, targets_n, False)):
-                        if self.share_positive_pool and fd is feats_t:
+                    for fd, tg, src, is_pos in (
+                            (feats_s, targets_s, True, False),
+                            (feats_t, targets_t, False, True),
+                            (feats_n, targets_n, False, False)):
+                        if self.share_positive_pool and is_pos:
                             da_ins_set.append(x_t)
                             continue
                         d_key = self.make_rng("sampling")

@@ -49,6 +49,7 @@ def main():
         dt = (time.perf_counter() - t0) / iters
         print(f"aligned triplet step (share_positive_pool={share}): "
               f"{dt * 1e3:.1f} ms, {3 / dt:.1f} img/s")
+        del state, m  # release this variant's params/opt HBM before the next
 
 
 if __name__ == "__main__":

@@ -64,9 +64,9 @@ def test_comm_multi_process_simulated(monkeypatch):
     red_sum = comm.reduce_dict(peers[0], average=False)
     assert red_sum == {"loss": 4.0, "n": 3}
 
+    # rank 0 contributes its own dict; the fake peer contributes peers[1]
     merged = comm.accumulate_predictions({0: "r0"})
-    # fake world returns peers as dict payloads; emulate prediction dicts
-    assert isinstance(merged, dict)
+    assert merged == {0: "r0", "loss": 3.0, "n": 2}
 
 
 # -- poolers ------------------------------------------------------------

@@ -127,10 +127,14 @@ def test_train_forward_da_triplet_shared_positive_pool():
     cfg.MODEL.DA_HEADS.DA_TRIPLET_INS_WEIGHT = 1.0
     cfg.TPU.SHARE_POSITIVE_POOL = True
     model = build_detection_model(cfg)
+    cfg_ref = cfg.clone()
+    cfg_ref.TPU.SHARE_POSITIVE_POOL = False
+    model_ref = build_detection_model(cfg_ref)
     bs, ts = make_batch(1, seed=0, is_source=True)
     bt, tt = make_batch(1, seed=1, is_source=False)
     bn, tn = make_batch(1, seed=2, is_source=False)
     da_state = DAState.create()
+    # same param structure either way -> share one variables dict
     variables = model.init(TRAIN_RNGS, bs, ts, da_state, bt, tt, bn, tn,
                            aligned=True, method=model.train_forward)
     losses, _ = model.apply(
@@ -139,6 +143,15 @@ def test_train_forward_da_triplet_shared_positive_pool():
     assert "triplet_loss_instance" in losses
     for k, v in losses.items():
         assert np.isfinite(float(v)), (k, v)
+    # the fast path must actually engage: with identical rngs/params the
+    # shared positive member consumes one fewer sampling draw than the
+    # independent re-pool, so the triplet loss must diverge from the
+    # reference-exact model's
+    losses_ref, _ = model_ref.apply(
+        variables, bs, ts, da_state, bt, tt, bn, tn, aligned=True,
+        method=model_ref.train_forward, rngs=APPLY_RNGS)
+    assert (float(losses["triplet_loss_instance"])
+            != float(losses_ref["triplet_loss_instance"]))
 
 
 def test_train_forward_da_two_domain():
