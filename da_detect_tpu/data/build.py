@@ -201,6 +201,20 @@ class _Prefetcher:
         self.t.join(timeout=2.0)
 
 
+def _check_batch_sharding(batch_size: int, sharding, what: str) -> None:
+    """The per-step batch must shard evenly over the data mesh (the
+    reference asserts IMS_PER_BATCH % (2*num_gpus) == 0, build.py:241-246).
+    Fail at loader build time with an actionable message instead of a
+    device_put shape error inside the prefetch thread."""
+    if sharding is None or not hasattr(sharding, "mesh"):
+        return
+    ndev = dict(sharding.mesh.shape).get("data", 1)
+    if batch_size % ndev:
+        raise ValueError(
+            f"{what}={batch_size} is not divisible by the data-mesh size "
+            f"{ndev}; raise the batch or shrink the mesh (TPU.MESH_DATA)")
+
+
 def make_data_loader(cfg, *, is_train: bool, dataset_names=None,
                      is_source: bool = True, with_masks: bool = False,
                      shuffle: bool | None = None, seed: int = 0,
@@ -217,6 +231,9 @@ def make_data_loader(cfg, *, is_train: bool, dataset_names=None,
         proc.flip_prob = 1.0
     batch_size = (cfg.SOLVER.IMS_PER_BATCH if is_train
                   else cfg.TEST.IMS_PER_BATCH)
+    _check_batch_sharding(
+        batch_size, sharding,
+        "SOLVER.IMS_PER_BATCH" if is_train else "TEST.IMS_PER_BATCH")
     shuffle = is_train if shuffle is None else shuffle
     infinite = is_train if infinite is None else infinite
     n_proc = jax.process_count()
@@ -295,6 +312,8 @@ def make_data_loader_da(cfg, *, aligned: bool = True, seed: int = 0,
         if cfg.DATASETS.TARGET_TRAIN_negative else None
     proc = _SampleProcessor(cfg, True)
     k = max(cfg.SOLVER.IMS_PER_BATCH // 2, 1)
+    _check_batch_sharding(k, sharding,
+                          "IMS_PER_BATCH//2 (triples per step)")
 
     n = len(ds_s)
     if aligned:
