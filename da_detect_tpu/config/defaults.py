@@ -331,6 +331,13 @@ _C.TPU.STEM_SPACE_TO_DEPTH = False
 # is shared with the DA-instance loss — and saves one full ROI-head pass per
 # step. Off by default for reference fidelity.
 _C.TPU.SHARE_POSITIVE_POOL = False
+# Per-block activation rematerialization (jax.checkpoint): the backward pass
+# recomputes each bottleneck block instead of storing its internals —
+# activation HBM drops ~3x for ~1/3 extra forward FLOPs. Numerics and param
+# names are unchanged (checkpoints interchange with the non-remat model).
+# Turn on to fit bigger canvases / more triples per chip.
+_C.TPU.REMAT_BACKBONE = False
+_C.TPU.REMAT_ROI_HEAD = False
 # Host data pipeline prefetch depth (device buffers).
 _C.TPU.PREFETCH = 2
 

@@ -47,6 +47,7 @@ class ResNetBackbone(nn.Module):
     stage_with_dcn: Sequence[bool] = (False, False, False, False)
     with_modulated_dcn: bool = False
     deformable_groups: int = 1
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -60,8 +61,8 @@ class ResNetBackbone(nn.Module):
             norm=self.norm, stem_space_to_depth=self.stem_space_to_depth,
             stage_with_dcn=self.stage_with_dcn,
             with_modulated_dcn=self.with_modulated_dcn,
-            deformable_groups=self.deformable_groups, dtype=self.dtype,
-            name="body")(x)
+            deformable_groups=self.deformable_groups, remat=self.remat,
+            dtype=self.dtype, name="body")(x)
         if self.with_fpn:
             if self.fpn_top_block == "p6p7":
                 feats = feats[1:]  # RetinaNet pyramid starts at C3
@@ -113,6 +114,7 @@ def build_backbone(cfg) -> tuple[nn.Module, BackboneSpec]:
         stage_with_dcn=tuple(r.STAGE_WITH_DCN),
         with_modulated_dcn=r.WITH_MODULATED_DCN,
         deformable_groups=r.DEFORMABLE_GROUPS,
+        remat=cfg.TPU.REMAT_BACKBONE,
         dtype=dtype,
     )
     if with_fpn:

@@ -151,12 +151,18 @@ class ResStage(nn.Module):
     with_dcn: bool = False
     with_modulated_dcn: bool = False
     deformable_groups: int = 1
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        # per-block rematerialization: backward recomputes each block's
+        # internals instead of storing them (activation memory drops ~3x for
+        # extra forward FLOPs); param names are unchanged, so checkpoints
+        # are interchangeable with the non-remat model
+        block_cls = nn.remat(Bottleneck) if self.remat else Bottleneck
         for i in range(self.block_count):
-            x = Bottleneck(
+            x = block_cls(
                 bottleneck_channels=self.bottleneck_channels,
                 out_channels=self.out_channels,
                 stride=self.first_stride if i == 0 else 1,
@@ -202,6 +208,7 @@ class ResNet(nn.Module):
     stage_with_dcn: Sequence[bool] = (False, False, False, False)
     with_modulated_dcn: bool = False
     deformable_groups: int = 1
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -230,6 +237,7 @@ class ResNet(nn.Module):
                 with_dcn=bool(self.stage_with_dcn[idx]),
                 with_modulated_dcn=self.with_modulated_dcn,
                 deformable_groups=self.deformable_groups,
+                remat=self.remat,
                 dtype=self.dtype,
                 name=f"layer{idx + 1}",
             )(x)
@@ -252,6 +260,7 @@ class ResNetHead(nn.Module):
     first_stride: int = 2
     dilation: int = 1
     norm: str = "frozen_bn"
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -268,6 +277,7 @@ class ResNetHead(nn.Module):
             num_groups=self.num_groups,
             stride_in_1x1=self.stride_in_1x1,
             norm=self.norm,
+            remat=self.remat,
             dtype=self.dtype,
             name="layer4",
         )(x)

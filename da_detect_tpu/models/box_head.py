@@ -49,6 +49,7 @@ class ResNet50Conv5ROIFeatureExtractor(nn.Module):
     stride_in_1x1: bool = True
     dilation: int = 1
     norm: str = "frozen_bn"
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -62,7 +63,7 @@ class ResNet50Conv5ROIFeatureExtractor(nn.Module):
                        stride_in_1x1=self.stride_in_1x1,
                        first_stride=2 if self.dilation == 1 else 1,
                        dilation=self.dilation, norm=self.norm,
-                       dtype=self.dtype, name="head")(x)
+                       remat=self.remat, dtype=self.dtype, name="head")(x)
         return x.reshape((b, r) + x.shape[1:])              # [B, R, 7, 7, 2048]
 
 
@@ -311,7 +312,8 @@ def make_box_feature_extractor(cfg, dtype):
             width_per_group=r.WIDTH_PER_GROUP,
             res2_out_channels=r.RES2_OUT_CHANNELS,
             stride_in_1x1=r.STRIDE_IN_1X1, dilation=h.DILATION,
-            norm="gn" if h.USE_GN else "frozen_bn", dtype=dtype,
+            norm="gn" if h.USE_GN else "frozen_bn",
+            remat=cfg.TPU.REMAT_ROI_HEAD, dtype=dtype,
             name="feature_extractor"), r.RES2_OUT_CHANNELS * 8
     if name == "FPN2MLPFeatureExtractor":
         return FPN2MLPFeatureExtractor(
