@@ -338,6 +338,10 @@ _C.TPU.SHARE_POSITIVE_POOL = False
 # Turn on to fit bigger canvases / more triples per chip.
 _C.TPU.REMAT_BACKBONE = False
 _C.TPU.REMAT_ROI_HEAD = False
+# "block": per-bottleneck (store block outputs, recompute internals);
+# "stage": per-stage (store only stage inputs — the stronger lever when
+# block outputs themselves blow HBM, e.g. 832x1344 at 16 triples/step).
+_C.TPU.REMAT_LEVEL = "block"
 # Host data pipeline prefetch depth (device buffers).
 _C.TPU.PREFETCH = 2
 

@@ -48,6 +48,7 @@ class ResNetBackbone(nn.Module):
     with_modulated_dcn: bool = False
     deformable_groups: int = 1
     remat: bool = False
+    remat_level: str = "block"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -62,7 +63,7 @@ class ResNetBackbone(nn.Module):
             stage_with_dcn=self.stage_with_dcn,
             with_modulated_dcn=self.with_modulated_dcn,
             deformable_groups=self.deformable_groups, remat=self.remat,
-            dtype=self.dtype, name="body")(x)
+            remat_level=self.remat_level, dtype=self.dtype, name="body")(x)
         if self.with_fpn:
             if self.fpn_top_block == "p6p7":
                 feats = feats[1:]  # RetinaNet pyramid starts at C3
@@ -115,6 +116,7 @@ def build_backbone(cfg) -> tuple[nn.Module, BackboneSpec]:
         with_modulated_dcn=r.WITH_MODULATED_DCN,
         deformable_groups=r.DEFORMABLE_GROUPS,
         remat=cfg.TPU.REMAT_BACKBONE,
+        remat_level=cfg.TPU.REMAT_LEVEL,
         dtype=dtype,
     )
     if with_fpn:

@@ -209,6 +209,7 @@ class ResNet(nn.Module):
     with_modulated_dcn: bool = False
     deformable_groups: int = 1
     remat: bool = False
+    remat_level: str = "block"  # "block": per-bottleneck; "stage": whole stage
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -219,13 +220,18 @@ class ResNet(nn.Module):
                  name="stem")(x)
         outputs = []
         counts = _BLOCK_COUNTS[self.depth]
+        # stage-level remat stores only each stage's input (block outputs are
+        # recomputed inside the backward) — the stronger memory lever for big
+        # canvases where even per-block remat leaves too many live outputs
+        stage_remat = self.remat and self.remat_level == "stage"
+        stage_cls = nn.remat(ResStage) if stage_remat else ResStage
         for idx in range(self.stages):
             stage2_relative = 2 ** idx
             bottleneck = self.num_groups * self.width_per_group * stage2_relative
             out_ch = self.res2_out_channels * stage2_relative
             dilation = self.res5_dilation if idx == 3 else 1
             first_stride = 1 if idx == 0 or (idx == 3 and self.res5_dilation == 2) else 2
-            x = ResStage(
+            x = stage_cls(
                 block_count=counts[idx],
                 bottleneck_channels=bottleneck,
                 out_channels=out_ch,
@@ -237,7 +243,7 @@ class ResNet(nn.Module):
                 with_dcn=bool(self.stage_with_dcn[idx]),
                 with_modulated_dcn=self.with_modulated_dcn,
                 deformable_groups=self.deformable_groups,
-                remat=self.remat,
+                remat=self.remat and not stage_remat,
                 dtype=self.dtype,
                 name=f"layer{idx + 1}",
             )(x)
@@ -261,6 +267,7 @@ class ResNetHead(nn.Module):
     dilation: int = 1
     norm: str = "frozen_bn"
     remat: bool = False
+    remat_level: str = "block"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -268,7 +275,9 @@ class ResNetHead(nn.Module):
         x = x.astype(self.dtype)
         counts = _BLOCK_COUNTS[self.depth]
         stage2_relative = 8  # res5
-        return ResStage(
+        stage_remat = self.remat and self.remat_level == "stage"
+        stage_cls = nn.remat(ResStage) if stage_remat else ResStage
+        return stage_cls(
             block_count=counts[3],
             bottleneck_channels=self.num_groups * self.width_per_group * stage2_relative,
             out_channels=self.res2_out_channels * stage2_relative,
@@ -277,7 +286,7 @@ class ResNetHead(nn.Module):
             num_groups=self.num_groups,
             stride_in_1x1=self.stride_in_1x1,
             norm=self.norm,
-            remat=self.remat,
+            remat=self.remat and not stage_remat,
             dtype=self.dtype,
             name="layer4",
         )(x)

@@ -50,6 +50,7 @@ class ResNet50Conv5ROIFeatureExtractor(nn.Module):
     dilation: int = 1
     norm: str = "frozen_bn"
     remat: bool = False
+    remat_level: str = "block"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -63,7 +64,8 @@ class ResNet50Conv5ROIFeatureExtractor(nn.Module):
                        stride_in_1x1=self.stride_in_1x1,
                        first_stride=2 if self.dilation == 1 else 1,
                        dilation=self.dilation, norm=self.norm,
-                       remat=self.remat, dtype=self.dtype, name="head")(x)
+                       remat=self.remat, remat_level=self.remat_level,
+                       dtype=self.dtype, name="head")(x)
         return x.reshape((b, r) + x.shape[1:])              # [B, R, 7, 7, 2048]
 
 
@@ -313,7 +315,8 @@ def make_box_feature_extractor(cfg, dtype):
             res2_out_channels=r.RES2_OUT_CHANNELS,
             stride_in_1x1=r.STRIDE_IN_1X1, dilation=h.DILATION,
             norm="gn" if h.USE_GN else "frozen_bn",
-            remat=cfg.TPU.REMAT_ROI_HEAD, dtype=dtype,
+            remat=cfg.TPU.REMAT_ROI_HEAD,
+            remat_level=cfg.TPU.REMAT_LEVEL, dtype=dtype,
             name="feature_extractor"), r.RES2_OUT_CHANNELS * 8
     if name == "FPN2MLPFeatureExtractor":
         return FPN2MLPFeatureExtractor(

@@ -14,18 +14,20 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_one(k: int, remat: bool, iters: int = 10):
+def run_one(k: int, remat: bool, iters: int = 10, canvas=(608, 1216),
+            level: str = "block"):
     import jax
     import __graft_entry__ as g
     from da_detect_tpu.engine.trainer import create_train_state, make_train_step
     from da_detect_tpu.models import build_detection_model
 
-    cfg = g._flagship_cfg(canvas=(608, 1216), train_tops=(12000, 2000),
+    cfg = g._flagship_cfg(canvas=tuple(canvas), train_tops=(12000, 2000),
                           test_tops=(6000, 1000))
     cfg.TPU.MAX_GT_BOXES = 64
     cfg.SOLVER.IMS_PER_BATCH = 2 * k
     cfg.TPU.REMAT_BACKBONE = remat
     cfg.TPU.REMAT_ROI_HEAD = remat
+    cfg.TPU.REMAT_LEVEL = level
     model = build_detection_model(cfg)
     sample = []
     for d, src in ((0, True), (1, False), (2, False)):
@@ -52,8 +54,12 @@ def run_one(k: int, remat: bool, iters: int = 10):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--min-k", type=int, default=1)
     ap.add_argument("--max-k", type=int, default=8)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--canvas", nargs=2, type=int, default=(608, 1216),
+                    metavar=("H", "W"))
+    ap.add_argument("--level", default="block", choices=["block", "stage"])
     ap.add_argument("--one", nargs=2, metavar=("K", "REMAT"), default=None,
                     help="internal: run a single (k, remat) measurement")
     args = ap.parse_args()
@@ -63,7 +69,7 @@ def main():
 
     if args.one:
         k, remat = int(args.one[0]), args.one[1] == "True"
-        dt, peak = run_one(k, remat, args.iters)
+        dt, peak = run_one(k, remat, args.iters, args.canvas, args.level)
         peak_s = f", peak {peak / 2**30:.2f} GiB" if peak else ""
         print(f"remat={remat} k={k}: {dt * 1e3:.1f} ms/step, "
               f"{3 * k / dt:.1f} img/s{peak_s}", flush=True)
@@ -73,11 +79,13 @@ def main():
     # within a process, so sharing one would pollute later measurements
     import subprocess
     for remat in (False, True):
-        k = 1
+        k = args.min_k
         while k <= args.max_k:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one", str(k),
-                 str(remat), "--iters", str(args.iters)],
+                 str(remat), "--iters", str(args.iters),
+                 "--canvas", str(args.canvas[0]), str(args.canvas[1]),
+                 "--level", args.level],
                 capture_output=True, text=True)
             out = (r.stdout or "").strip()
             if r.returncode or not out:

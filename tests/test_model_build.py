@@ -158,10 +158,11 @@ def test_remat_preserves_losses_and_params():
     """TPU.REMAT_* wraps bottleneck blocks in jax.checkpoint: same param
     tree, same losses (it only changes what the backward stores)."""
     losses_by_remat = {}
-    for remat in (False, True):
+    for remat, level in ((False, "block"), (True, "block"), (True, "stage")):
         cfg = tiny_cfg()
         cfg.TPU.REMAT_BACKBONE = remat
         cfg.TPU.REMAT_ROI_HEAD = remat
+        cfg.TPU.REMAT_LEVEL = level
         model = build_detection_model(cfg)
         batch, targets = make_batch(2)
         da_state = DAState.create()
@@ -170,7 +171,7 @@ def test_remat_preserves_losses_and_params():
         if remat:
             assert jax.tree_util.tree_structure(variables["params"]) == struct0
         else:
-            struct0 = jax.tree_util.tree_structure(variables["params"])
+            struct0 = jax.tree_util.tree_structure(variables["params"])  # noqa: F841
         def total(params):
             losses, _ = model.apply(
                 {**variables, "params": params}, batch, targets, da_state,
@@ -181,14 +182,16 @@ def test_remat_preserves_losses_and_params():
             variables["params"])
         gnorm = float(jnp.sqrt(sum(jnp.sum(g.astype(jnp.float32) ** 2)
                                    for g in jax.tree_util.tree_leaves(grads))))
-        losses_by_remat[remat] = (
+        losses_by_remat[(remat, level)] = (
             {k: float(v) for k, v in losses.items()}, gnorm)
-    ref, ref_gnorm = losses_by_remat[False]
-    got, got_gnorm = losses_by_remat[True]
-    for k, v in ref.items():
-        np.testing.assert_allclose(got[k], v, rtol=1e-5, err_msg=k)
-    # remat recomputes the same arithmetic in backward -> same gradients
-    np.testing.assert_allclose(got_gnorm, ref_gnorm, rtol=1e-4)
+    ref, ref_gnorm = losses_by_remat[(False, "block")]
+    for variant in ((True, "block"), (True, "stage")):
+        got, got_gnorm = losses_by_remat[variant]
+        for k, v in ref.items():
+            np.testing.assert_allclose(got[k], v, rtol=1e-5,
+                                       err_msg=f"{variant} {k}")
+        # remat recomputes the same arithmetic in backward -> same gradients
+        np.testing.assert_allclose(got_gnorm, ref_gnorm, rtol=1e-4)
 
 
 def test_train_forward_da_two_domain():
