@@ -342,6 +342,12 @@ _C.TPU.REMAT_ROI_HEAD = False
 # "stage": per-stage (store only stage inputs — the stronger lever when
 # block outputs themselves blow HBM, e.g. 832x1344 at 16 triples/step).
 _C.TPU.REMAT_LEVEL = "block"
+# Lower ResNeXt grouped 3x3 convs with per-group width <= this as
+# block-diagonal DENSE convs: g x the nominal FLOPs, but small groups run at
+# ~0.2 TFLOP/s on the MXU while dense runs near peak — measured 2.2x
+# end-to-end on X-101-32x8d inference. Exact math, same param layout.
+# 0 disables (native grouped conv everywhere).
+_C.TPU.GROUPED_DENSE_MAX_WIDTH = 16
 # Host data pipeline prefetch depth (device buffers).
 _C.TPU.PREFETCH = 2
 

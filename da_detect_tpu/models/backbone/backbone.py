@@ -49,6 +49,7 @@ class ResNetBackbone(nn.Module):
     deformable_groups: int = 1
     remat: bool = False
     remat_level: str = "block"
+    grouped_dense_max_width: int = 16
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -63,7 +64,9 @@ class ResNetBackbone(nn.Module):
             stage_with_dcn=self.stage_with_dcn,
             with_modulated_dcn=self.with_modulated_dcn,
             deformable_groups=self.deformable_groups, remat=self.remat,
-            remat_level=self.remat_level, dtype=self.dtype, name="body")(x)
+            remat_level=self.remat_level,
+            grouped_dense_max_width=self.grouped_dense_max_width,
+            dtype=self.dtype, name="body")(x)
         if self.with_fpn:
             if self.fpn_top_block == "p6p7":
                 feats = feats[1:]  # RetinaNet pyramid starts at C3
@@ -117,6 +120,7 @@ def build_backbone(cfg) -> tuple[nn.Module, BackboneSpec]:
         deformable_groups=r.DEFORMABLE_GROUPS,
         remat=cfg.TPU.REMAT_BACKBONE,
         remat_level=cfg.TPU.REMAT_LEVEL,
+        grouped_dense_max_width=cfg.TPU.GROUPED_DENSE_MAX_WIDTH,
         dtype=dtype,
     )
     if with_fpn:

@@ -31,6 +31,48 @@ from ...layers import FrozenBatchNorm, make_norm
 from ...layers.deform_conv import DeformConv2d
 
 
+class BlockDiagGroupedConv(nn.Module):
+    """Grouped 3x3 conv lowered as a block-diagonal DENSE conv.
+
+    ResNeXt's small groups starve the MXU: profiled on v5e, X-101-32x8d's
+    res2 grouped convs (32 groups of width 8) run at ~0.2 TFLOP/s — 8-wide
+    contractions waste 94% of the 128-lane systolic array, and XLA inserts
+    multi-ms layout copies around the [.., g, w] group split. Scattering the
+    grouped kernel into a block-diagonal [kh, kw, C, C] dense kernel costs
+    g x the nominal FLOPs but runs at dense-conv efficiency — a large net
+    win for w <= 16. Parameters keep the grouped nn.Conv layout
+    ([kh, kw, C/g, C], same "kernel" name), so checkpoints are
+    interchangeable with the native form, and the math is exact (the extra
+    terms are multiplications by structural zeros).
+    """
+
+    features: int
+    groups: int
+    strides: tuple = (1, 1)
+    padding: tuple = ((1, 1), (1, 1))
+    kernel_dilation: tuple = (1, 1)
+    kernel_size: tuple = (3, 3)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        g = self.groups
+        w_in = x.shape[-1] // g
+        w_out = self.features // g
+        kh, kw = self.kernel_size
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (kh, kw, w_in, self.features))
+        kg = kernel.astype(self.dtype).reshape(kh, kw, w_in, g, w_out)
+        eye = jnp.eye(g, dtype=self.dtype)
+        # dense[h, w, G*w_in + i, g*w_out + o] = kg[h, w, i, g, o] * (G == g)
+        dense = jnp.einsum("hwigo,Gg->hwGigo", kg, eye).reshape(
+            kh, kw, g * w_in, self.features)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), dense, self.strides, self.padding,
+            rhs_dilation=self.kernel_dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class Bottleneck(nn.Module):
     bottleneck_channels: int
     out_channels: int
@@ -42,6 +84,7 @@ class Bottleneck(nn.Module):
     with_dcn: bool = False
     with_modulated_dcn: bool = False
     deformable_groups: int = 1
+    grouped_dense_max_width: int = 16
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -67,6 +110,14 @@ class Bottleneck(nn.Module):
                                deformable_groups=self.deformable_groups,
                                modulated=self.with_modulated_dcn,
                                dtype=self.dtype, name="conv2")(out)
+        elif (self.num_groups > 1 and self.bottleneck_channels
+                // self.num_groups <= self.grouped_dense_max_width):
+            out = BlockDiagGroupedConv(
+                features=self.bottleneck_channels, groups=self.num_groups,
+                strides=(stride_3x3,) * 2,
+                padding=((self.dilation,) * 2,) * 2,
+                kernel_dilation=(self.dilation,) * 2,
+                dtype=self.dtype, name="conv2")(out)
         else:
             out = nn.Conv(self.bottleneck_channels, (3, 3), strides=(stride_3x3,) * 2,
                           padding=((self.dilation,) * 2,) * 2,
@@ -152,6 +203,7 @@ class ResStage(nn.Module):
     with_modulated_dcn: bool = False
     deformable_groups: int = 1
     remat: bool = False
+    grouped_dense_max_width: int = 16
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -173,6 +225,7 @@ class ResStage(nn.Module):
                 with_dcn=self.with_dcn,
                 with_modulated_dcn=self.with_modulated_dcn,
                 deformable_groups=self.deformable_groups,
+                grouped_dense_max_width=self.grouped_dense_max_width,
                 dtype=self.dtype,
                 name=f"block{i}",
             )(x)
@@ -210,6 +263,7 @@ class ResNet(nn.Module):
     deformable_groups: int = 1
     remat: bool = False
     remat_level: str = "block"  # "block": per-bottleneck; "stage": whole stage
+    grouped_dense_max_width: int = 16
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -244,6 +298,7 @@ class ResNet(nn.Module):
                 with_modulated_dcn=self.with_modulated_dcn,
                 deformable_groups=self.deformable_groups,
                 remat=self.remat and not stage_remat,
+                grouped_dense_max_width=self.grouped_dense_max_width,
                 dtype=self.dtype,
                 name=f"layer{idx + 1}",
             )(x)
@@ -268,6 +323,7 @@ class ResNetHead(nn.Module):
     norm: str = "frozen_bn"
     remat: bool = False
     remat_level: str = "block"
+    grouped_dense_max_width: int = 16
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -287,6 +343,7 @@ class ResNetHead(nn.Module):
             stride_in_1x1=self.stride_in_1x1,
             norm=self.norm,
             remat=self.remat and not stage_remat,
+            grouped_dense_max_width=self.grouped_dense_max_width,
             dtype=self.dtype,
             name="layer4",
         )(x)

@@ -51,6 +51,7 @@ class ResNet50Conv5ROIFeatureExtractor(nn.Module):
     norm: str = "frozen_bn"
     remat: bool = False
     remat_level: str = "block"
+    grouped_dense_max_width: int = 16
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -65,6 +66,7 @@ class ResNet50Conv5ROIFeatureExtractor(nn.Module):
                        first_stride=2 if self.dilation == 1 else 1,
                        dilation=self.dilation, norm=self.norm,
                        remat=self.remat, remat_level=self.remat_level,
+                       grouped_dense_max_width=self.grouped_dense_max_width,
                        dtype=self.dtype, name="head")(x)
         return x.reshape((b, r) + x.shape[1:])              # [B, R, 7, 7, 2048]
 
@@ -316,7 +318,9 @@ def make_box_feature_extractor(cfg, dtype):
             stride_in_1x1=r.STRIDE_IN_1X1, dilation=h.DILATION,
             norm="gn" if h.USE_GN else "frozen_bn",
             remat=cfg.TPU.REMAT_ROI_HEAD,
-            remat_level=cfg.TPU.REMAT_LEVEL, dtype=dtype,
+            remat_level=cfg.TPU.REMAT_LEVEL,
+            grouped_dense_max_width=cfg.TPU.GROUPED_DENSE_MAX_WIDTH,
+            dtype=dtype,
             name="feature_extractor"), r.RES2_OUT_CHANNELS * 8
     if name == "FPN2MLPFeatureExtractor":
         return FPN2MLPFeatureExtractor(

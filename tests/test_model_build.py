@@ -154,6 +154,24 @@ def test_train_forward_da_triplet_shared_positive_pool():
             != float(losses_ref["triplet_loss_instance"]))
 
 
+def test_block_diag_grouped_conv_matches_native():
+    """The block-diagonal dense lowering of small-group ResNeXt convs is
+    algebraically exact and shares the native param layout."""
+    from da_detect_tpu.models.backbone.resnet import Bottleneck
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 8, 10, 64).astype(np.float32))
+    kwargs = dict(bottleneck_channels=32, out_channels=64, num_groups=4,
+                  norm="gn")
+    native = Bottleneck(grouped_dense_max_width=0, **kwargs)
+    dense = Bottleneck(grouped_dense_max_width=16, **kwargs)
+    variables = native.init(jax.random.PRNGKey(0), x)
+    y_native = native.apply(variables, x)
+    y_dense = dense.apply(variables, x)  # same params, different lowering
+    np.testing.assert_allclose(np.asarray(y_dense), np.asarray(y_native),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_remat_preserves_losses_and_params():
     """TPU.REMAT_* wraps bottleneck blocks in jax.checkpoint: same param
     tree, same losses (it only changes what the backward stores)."""
