@@ -109,8 +109,17 @@ def retinanet_loss(key_unused, anchors_cat, cls_logits, box_regression,
 
 def retinanet_inference(level_anchors, level_logits, level_regs, image_sizes,
                         *, pre_nms_thresh=0.05, pre_nms_top_n=1000,
-                        nms_thresh=0.4, detections_per_img=100, min_size=0):
-    """Per-level thresh+topk, decode, then cross-level per-class NMS."""
+                        nms_thresh=0.4, detections_per_img=100, min_size=0,
+                        approx_topk=True):
+    """Per-level thresh+topk, decode, then cross-level per-class NMS.
+
+    ``approx_topk``: select the per-level pre-NMS candidates with the
+    TPU-native ``jax.lax.approx_max_k`` instead of an exact sort. P3 alone
+    has ~12M (location, class) scores at 800x1344 and the exact top-k sort
+    is 31.8 of the 44.7 ms eval step (profiled); approx_max_k (recall
+    target 0.95 *per tile*, misses only tail-of-1000 candidates that
+    per-class NMS would discard) removes it. Set TPU.APPROX_TOPK False for
+    a reference-exact candidate set."""
     num_classes = level_logits[0].shape[-1] // (
         level_regs[0].shape[-1] // 4)
 
@@ -124,7 +133,11 @@ def retinanet_inference(level_anchors, level_logits, level_regs, image_sizes,
         n = flat.shape[0]
         cand = flat > pre_nms_thresh
         k = min(pre_nms_top_n, n)
-        top_scores, idx = jax.lax.top_k(jnp.where(cand, flat, -1.0), k)
+        masked = jnp.where(cand, flat, -1.0)
+        if approx_topk and n > 4 * k:
+            top_scores, idx = jax.lax.approx_max_k(masked, k)
+        else:
+            top_scores, idx = jax.lax.top_k(masked, k)
         loc = idx // num_classes
         cls = idx % num_classes + 1
         boxes = box_ops.decode_boxes(regs[loc], anchors_l[loc], REG_WEIGHTS)
@@ -233,7 +246,8 @@ def build_retinanet(cfg):
                       straddle_thresh=r.STRADDLE_THRESH),
         infer_cfg=dict(pre_nms_thresh=r.INFERENCE_TH,
                        pre_nms_top_n=r.PRE_NMS_TOP_N, nms_thresh=r.NMS_TH,
-                       detections_per_img=cfg.TEST.DETECTIONS_PER_IMG),
+                       detections_per_img=cfg.TEST.DETECTIONS_PER_IMG,
+                       approx_topk=cfg.TPU.APPROX_TOPK),
         num_convs=r.NUM_CONVS,
         prior_prob=r.PRIOR_PROB,
         dtype=dtype,

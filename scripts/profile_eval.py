@@ -1,6 +1,6 @@
-"""Device profile of X-101-32x8d-FPN inference — where do 120 ms/img go?
+"""Device profile of any config's eval forward.
 
-Run ON the TPU: python scripts/profile_x101.py
+Run ON the TPU: python scripts/profile_eval.py --config <yaml> [--canvas H W]
 """
 
 from __future__ import annotations
@@ -15,10 +15,16 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-TRACE_DIR = "/tmp/da_detect_profile_x101"
+TRACE_DIR = "/tmp/da_detect_profile_eval"
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="configs/e2e_faster_rcnn_X_101_32x8d_FPN_1x.yaml")
+    ap.add_argument("--canvas", nargs=2, type=int, default=(800, 1344))
+    args = ap.parse_args()
+
     import jax
     from da_detect_tpu.utils.env import setup_environment
     setup_environment()
@@ -27,8 +33,8 @@ def main():
     from da_detect_tpu.models import build_detection_model
 
     cfg = get_cfg()
-    cfg.merge_from_file("configs/e2e_faster_rcnn_X_101_32x8d_FPN_1x.yaml")
-    cfg.TPU.IMAGE_SHAPE = (800, 1344)
+    cfg.merge_from_file(args.config)
+    cfg.TPU.IMAGE_SHAPE = tuple(args.canvas)
     model = build_detection_model(cfg)
     batch, _ = g._batch(cfg, 1)
     variables = model.init({"params": jax.random.PRNGKey(0)}, batch)

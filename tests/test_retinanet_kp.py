@@ -38,6 +38,37 @@ def test_retinanet_eval_and_train():
     assert float(losses["loss_retina_cls"]) < 5.0
 
 
+def test_retinanet_approx_topk_candidate_selection():
+    """TPU.APPROX_TOPK engages approx_max_k on big levels; the candidate
+    scores it returns must come from near the top of the exact ordering."""
+    from da_detect_tpu.models.retinanet import retinanet_inference
+
+    rng = np.random.RandomState(0)
+    h, w, a, c = 40, 64, 3, 4  # n = 30720 (location, class) pairs > 4k
+    logits = [jnp.asarray(rng.randn(1, h, w, a * c).astype(np.float32))]
+    regs = [jnp.asarray(rng.randn(1, h, w, a * 4).astype(np.float32) * 0.1)]
+    anchors = jnp.asarray(
+        np.tile(np.array([[0, 0, 32, 32]], np.float32), (h * w * a, 1))
+        + rng.rand(h * w * a, 4).astype(np.float32) * 4)
+    sizes = jnp.asarray([[h * 8.0, w * 8.0]])
+    kwargs = dict(pre_nms_thresh=0.05, pre_nms_top_n=64, nms_thresh=0.5,
+                  detections_per_img=16)
+    exact = retinanet_inference([anchors], logits, regs, sizes,
+                                approx_topk=False, **kwargs)
+    approx = retinanet_inference([anchors], logits, regs, sizes,
+                                 approx_topk=True, **kwargs)
+    assert np.all(np.isfinite(np.asarray(approx.boxes)))
+    # every approx-selected score must be at least the exact 4*k-th score
+    ex_scores = np.sort(np.asarray(
+        jax.nn.sigmoid(logits[0].reshape(-1, c).reshape(-1))))[::-1]
+    floor = ex_scores[4 * kwargs["pre_nms_top_n"]]
+    ap_scores = np.asarray(approx.scores)[np.asarray(approx.valid)]
+    assert np.all(ap_scores >= floor), (ap_scores.min(), floor)
+    # the very top detections agree with the exact path
+    np.testing.assert_allclose(np.asarray(approx.scores)[0, :4],
+                               np.asarray(exact.scores)[0, :4], rtol=1e-5)
+
+
 def test_mask_and_keypoint_heads_train():
     from da_detect_tpu.structures.image_batch import Targets
     cfg = get_cfg()
