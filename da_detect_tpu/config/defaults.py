@@ -348,10 +348,12 @@ _C.TPU.REMAT_LEVEL = "block"
 # end-to-end on X-101-32x8d inference. Exact math, same param layout.
 # 0 disables (native grouped conv everywhere).
 _C.TPU.GROUPED_DENSE_MAX_WIDTH = 16
-# Use jax.lax.approx_max_k (TPU-native, tiled) for the huge flat top-k in
-# RetinaNet's per-level candidate selection (~12M scores at P3/800x1344 —
-# the exact sort is 31.8 of a 44.7 ms step). Only affects which
-# tail-of-pre_nms_top_n candidates reach NMS. False = reference-exact sort.
+# Use jax.lax.approx_max_k (TPU-native, tiled) for huge flat pre-NMS top-ks:
+# RetinaNet per-level candidate selection (~12M scores at P3/800x1344 — the
+# exact sort is 31.8 of a 44.7 ms step) and RPN levels with > 16x more
+# anchors than pre_nms_top_n (FPN P2). Only affects which
+# tail-of-pre_nms_top_n candidates reach NMS; the C4 parity path never
+# qualifies. False = reference-exact sort everywhere.
 _C.TPU.APPROX_TOPK = True
 # Host data pipeline prefetch depth (device buffers).
 _C.TPU.PREFETCH = 2

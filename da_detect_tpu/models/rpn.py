@@ -59,12 +59,20 @@ class Proposals(NamedTuple):
 
 
 def _select_level(anchors, obj, deltas, image_size, pre_nms, post_nms,
-                  nms_thresh, min_size, use_pallas=False):
+                  nms_thresh, min_size, use_pallas=False, approx_topk=False):
     """One image, one level. anchors [N,4], obj [N] logits, deltas [N,4]."""
     n = anchors.shape[0]
     k1 = min(pre_nms, n)
     scores = jax.nn.sigmoid(obj.astype(jnp.float32))
-    top_scores, top_idx = jax.lax.top_k(scores, k1)
+    if approx_topk and n > 16 * k1:
+        # huge-level pre-NMS selection (FPN P2: ~200k anchors for k=1-2k):
+        # the TPU-native tiled approx_max_k replaces a multi-ms exact sort;
+        # aggregate_to_topk (default) keeps the output exactly descending,
+        # so the presorted-NMS contract below still holds. The C4 parity
+        # path (43k anchors, k=6-12k) never qualifies and stays exact.
+        top_scores, top_idx = jax.lax.approx_max_k(scores, k1)
+    else:
+        top_scores, top_idx = jax.lax.top_k(scores, k1)
     boxes = box_ops.decode_boxes(deltas.astype(jnp.float32)[top_idx], anchors[top_idx])
     boxes = box_ops.clip_boxes(boxes, image_size[0], image_size[1])
     valid = box_ops.min_size_mask(boxes, float(min_size))
@@ -82,7 +90,8 @@ def _select_level(anchors, obj, deltas, image_size, pre_nms, post_nms,
 
 def select_proposals(level_anchors, level_logits, level_deltas, image_sizes,
                      *, pre_nms_top_n, post_nms_top_n, fpn_post_nms_top_n,
-                     nms_thresh, min_size, is_train, use_pallas=False):
+                     nms_thresh, min_size, is_train, use_pallas=False,
+                     approx_topk=False):
     """Batched proposal selection over all levels.
 
     level_anchors: list of [N_l, 4]; level_logits: list of [B, H, W, A];
@@ -99,7 +108,7 @@ def select_proposals(level_anchors, level_logits, level_deltas, image_sizes,
         sel = jax.vmap(
             lambda o, d, sz: _select_level(anchors_l, o, d, sz, pre_nms_top_n,
                                            post_nms_top_n, nms_thresh, min_size,
-                                           use_pallas)
+                                           use_pallas, approx_topk)
         )(obj, dl, image_sizes)
         per_level.append(Proposals(*sel))
 
@@ -199,4 +208,5 @@ def rpn_config(cfg, is_train: bool) -> dict:
         min_size=rpn.MIN_SIZE,
         is_train=is_train,
         use_pallas=cfg.TPU.USE_PALLAS,
+        approx_topk=cfg.TPU.APPROX_TOPK,
     )
