@@ -178,13 +178,14 @@ _C.MODEL.DA_HEADS.DA_ADV_GRL_OPTIMIZED = False
 _C.MODEL.DA_HEADS.DA_ADV_GRL_THRESHOLD = 30
 _C.MODEL.DA_HEADS.ALIGNMENT = True
 _C.MODEL.DA_HEADS.TRIPLET_USE = True
+# present-but-unused in the reference too (its loss only reads _INS/_IMG)
 _C.MODEL.DA_HEADS.TRIPLET_MARGIN = 1.0
 _C.MODEL.DA_HEADS.TRIPLET_MAX_MARGIN = 1.0
 _C.MODEL.DA_HEADS.TRIPLET_MARGIN_INS = 1.0
 _C.MODEL.DA_HEADS.TRIPLET_MARGIN_IMG = 1.0
-# adaptive-margin growth rate (reference hard-codes 0.1 inside
-# da_heads/loss.py:203; exposed as a key here)
-_C.MODEL.DA_HEADS.TRIPLET_MARGIN_LR = 0.1
+# adaptive-margin growth rate (the reference hard-codes lr=0.001 at its
+# call sites, da_heads.py:241,266; exposed as a key here, same default)
+_C.MODEL.DA_HEADS.TRIPLET_MARGIN_LR = 0.001
 _C.MODEL.DA_HEADS.DA_IMG_advGRL_WEIGHT = 0.1
 _C.MODEL.DA_HEADS.DA_INS_advGRL_WEIGHT = 0.1
 
@@ -355,6 +356,11 @@ _C.TPU.GROUPED_DENSE_MAX_WIDTH = 16
 # tail-of-pre_nms_top_n candidates reach NMS; the C4 parity path never
 # qualifies. False = reference-exact sort everywhere.
 _C.TPU.APPROX_TOPK = True
+# Static cap on the adaptive (sampling_ratio=0) ROIAlign sample grid. 8
+# reproduces the reference's ceil(roi_size/P) exactly for any ROI side up to
+# max_samples*P/scale (C4: 1792 px > every shipped canvas). Nearly free to
+# raise: the sample sum folds into the interpolation matrices.
+_C.TPU.ROI_MAX_SAMPLES = 8
 # Host data pipeline prefetch depth (device buffers).
 _C.TPU.PREFETCH = 2
 

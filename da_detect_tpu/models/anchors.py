@@ -101,11 +101,17 @@ def make_anchor_generator(cfg) -> AnchorGenerator:
     return AnchorGenerator(rpn.ANCHOR_SIZES, rpn.ASPECT_RATIOS, rpn.ANCHOR_STRIDE)
 
 
-def make_anchor_generator_retinanet(cfg) -> AnchorGenerator:
+def retinanet_octave_sizes(cfg) -> tuple:
+    """Per-level (size * OCTAVE^(i/SCALES_PER_OCTAVE)) tuples — the single
+    source for both the anchor generator and the model's anchor_cfg."""
     r = cfg.MODEL.RETINANET
     octave, spo = r.OCTAVE, r.SCALES_PER_OCTAVE
-    sizes = []
-    for size in r.ANCHOR_SIZES:
-        per = tuple(size * octave ** (i / float(spo)) for i in range(spo))
-        sizes.append(per)
-    return AnchorGenerator(tuple(sizes), r.ASPECT_RATIOS, r.ANCHOR_STRIDES)
+    return tuple(
+        tuple(size * octave ** (i / float(spo)) for i in range(spo))
+        for size in r.ANCHOR_SIZES)
+
+
+def make_anchor_generator_retinanet(cfg) -> AnchorGenerator:
+    r = cfg.MODEL.RETINANET
+    return AnchorGenerator(retinanet_octave_sizes(cfg), r.ASPECT_RATIOS,
+                           r.ANCHOR_STRIDES)

@@ -126,8 +126,6 @@ def build_backbone(cfg) -> tuple[nn.Module, BackboneSpec]:
     if with_fpn:
         out_ch = cfg.MODEL.BACKBONE.OUT_CHANNELS
         strides = (4, 8, 16, 32, 64) if top_block == "maxpool" else (8, 16, 32, 64, 128)
-        if top_block == "p6p7":
-            strides = (8, 16, 32, 64, 128)
     else:
         # C4/C5 single level
         stage_stride = 4 * 2 ** (stages - 1)

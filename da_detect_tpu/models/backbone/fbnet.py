@@ -289,12 +289,11 @@ def _head_out_channels(arch, which, scale, divisor) -> int:
 
 
 def make_fbnet_roi_head(cfg, dtype):
+    from ..poolers import pooler_config
     h = cfg.MODEL.ROI_BOX_HEAD
     f = cfg.MODEL.FBNET
     arch = _arch(cfg)
-    pooler = dict(scales=tuple(h.POOLER_SCALES),
-                  output_size=h.POOLER_RESOLUTION,
-                  sampling_ratio=h.POOLER_SAMPLING_RATIO)
+    pooler = pooler_config(cfg, "ROI_BOX_HEAD")
     mod = FBNetRoIHead(pooler=pooler, arch=arch, scale=f.SCALE_FACTOR,
                        divisor=f.WIDTH_DIVISOR, dw_skip_bn=f.DW_CONV_SKIP_BN,
                        dw_skip_relu=f.DW_CONV_SKIP_RELU, dtype=dtype,
@@ -309,9 +308,8 @@ def make_fbnet_mask_extractor(cfg, dtype):
     arch = _arch(cfg)
     if arch.get("mask") is None:
         raise KeyError(f"arch {f.ARCH} has no mask stage")
-    pooler = dict(scales=tuple(h.POOLER_SCALES),
-                  output_size=h.POOLER_RESOLUTION,
-                  sampling_ratio=h.POOLER_SAMPLING_RATIO)
+    from ..poolers import pooler_config
+    pooler = pooler_config(cfg, "ROI_MASK_HEAD")
     return FBNetMaskFeatureExtractor(
         pooler=pooler, arch=arch, scale=f.SCALE_FACTOR,
         divisor=f.WIDTH_DIVISOR, dw_skip_bn=f.DW_CONV_SKIP_BN,

@@ -305,10 +305,10 @@ def postprocess_detections(class_logits, box_regression, proposal_boxes,
 # ---------------------------------------------------------------------------
 
 def make_box_feature_extractor(cfg, dtype):
+    from .poolers import pooler_config
     name = cfg.MODEL.ROI_BOX_HEAD.FEATURE_EXTRACTOR
     h = cfg.MODEL.ROI_BOX_HEAD
-    pooler = dict(scales=tuple(h.POOLER_SCALES), output_size=h.POOLER_RESOLUTION,
-                  sampling_ratio=h.POOLER_SAMPLING_RATIO)
+    pooler = pooler_config(cfg, "ROI_BOX_HEAD")
     r = cfg.MODEL.RESNETS
     if name == "ResNet50Conv5ROIFeatureExtractor":
         return ResNet50Conv5ROIFeatureExtractor(

@@ -175,7 +175,9 @@ class DomainAdaptationModule(nn.Module):
     use_adv_grl: bool = True
     adv_grl_optimized: bool = False
     adv_grl_threshold: float = 30.0
-    triplet_margin_img: float = 1.0
+    # NOTE: the *image* margin's source of truth is DAState.margin_img
+    # (seeded from TRIPLET_MARGIN_IMG by the trainer) because it adapts
+    # across steps; only the static instance margin lives on the module.
     triplet_margin_ins: float = 1.0
     triplet_max_margin: float = 1.0
     triplet_margin_lr: float = 0.001  # reference passes lr=0.001 at call sites
@@ -288,9 +290,9 @@ def make_da_heads(cfg, dtype):
         use_adv_grl=da.DA_ADV_GRL,
         adv_grl_optimized=da.DA_ADV_GRL_OPTIMIZED,
         adv_grl_threshold=float(da.DA_ADV_GRL_THRESHOLD),
-        triplet_margin_img=da.TRIPLET_MARGIN_IMG,
         triplet_margin_ins=da.TRIPLET_MARGIN_INS,
         triplet_max_margin=da.TRIPLET_MAX_MARGIN,
+        triplet_margin_lr=da.TRIPLET_MARGIN_LR,
         avgpool_ins=is_resnet and c4,
         dtype=dtype,
         name="da_heads",

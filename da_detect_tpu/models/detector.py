@@ -263,6 +263,14 @@ def build_detection_model(cfg):
     from .backbone import build_backbone
 
     if cfg.MODEL.RETINANET_ON:
+        if cfg.MODEL.DOMAIN_ADAPTATION_ON:
+            # fail loudly: RetinaNet has no DA integration (true of the
+            # reference too) — silently training source-only while the user
+            # believes DA is active would be worse than an error
+            raise ValueError(
+                "MODEL.RETINANET_ON and MODEL.DOMAIN_ADAPTATION_ON are "
+                "mutually exclusive: the RetinaNet meta-architecture has no "
+                "domain-adaptation heads (same as the reference)")
         from .retinanet import build_retinanet
         return build_retinanet(cfg)
 

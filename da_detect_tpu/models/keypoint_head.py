@@ -126,10 +126,9 @@ def heatmaps_to_keypoints(heatmaps, rois):
 
 
 def make_keypoint_head(cfg, dtype):
+    from .poolers import pooler_config
     h = cfg.MODEL.ROI_KEYPOINT_HEAD
-    pooler = dict(scales=tuple(h.POOLER_SCALES),
-                  output_size=h.POOLER_RESOLUTION,
-                  sampling_ratio=h.POOLER_SAMPLING_RATIO)
+    pooler = pooler_config(cfg, "ROI_KEYPOINT_HEAD")
     return KeypointHead(
         extractor=KeypointRCNNFeatureExtractor(
             pooler=pooler, layers=tuple(h.CONV_LAYERS), dtype=dtype,

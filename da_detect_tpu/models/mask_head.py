@@ -183,9 +183,8 @@ def make_mask_head(cfg, dtype):
     elif h.FEATURE_EXTRACTOR in ("MaskRCNNFPNFeatureExtractor",
                                  "ResNet50Conv5ROIFeatureExtractor"):
         # the C4 path shares the box extractor via SHARE_BOX_FEATURE_EXTRACTOR
-        pooler = dict(scales=tuple(h.POOLER_SCALES),
-                      output_size=h.POOLER_RESOLUTION,
-                      sampling_ratio=h.POOLER_SAMPLING_RATIO)
+        from .poolers import pooler_config
+        pooler = pooler_config(cfg, "ROI_MASK_HEAD")
         extractor = MaskRCNNFPNFeatureExtractor(
             pooler=pooler, layers=tuple(h.CONV_LAYERS), dilation=h.DILATION,
             use_gn=h.USE_GN, dtype=dtype, name="mask_extractor")

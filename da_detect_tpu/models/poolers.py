@@ -34,7 +34,7 @@ def assign_levels(rois: jnp.ndarray, k_min: int, k_max: int,
 
 def pool_rois(features: Sequence[jnp.ndarray], rois: jnp.ndarray, *,
               scales: Sequence[float], output_size: int, sampling_ratio: int,
-              max_samples: int = 4, use_pallas: bool = False) -> jnp.ndarray:
+              max_samples: int = 8, use_pallas: bool = False) -> jnp.ndarray:
     """features: per-level [B, H_l, W_l, C]; rois [B, R, 4] (image coords).
     Returns [B, R, P, P, C]."""
     if len(features) == 1:
@@ -55,10 +55,11 @@ def pool_rois(features: Sequence[jnp.ndarray], rois: jnp.ndarray, *,
 
 
 def pooler_config(cfg, head: str = "ROI_BOX_HEAD") -> dict:
+    """Single source of the pooler kwargs for every ROI head (box, mask,
+    keypoint, fbnet). use_pallas stays False for pooling: the VMEM-resident
+    kernel measured slower than the layout-tuned einsum path (P=14 starves
+    the MXU per block; see ops/roi_align_pallas.py docstring)."""
     h = cfg.MODEL[head]
-    # use_pallas stays False for pooling: the VMEM-resident kernel measured
-    # slower than the layout-tuned einsum path (P=14 starves the MXU per
-    # block; see ops/roi_align_pallas.py docstring) — kept available for
-    # larger pooled resolutions / future schedules
     return dict(scales=tuple(h.POOLER_SCALES), output_size=h.POOLER_RESOLUTION,
-                sampling_ratio=h.POOLER_SAMPLING_RATIO)
+                sampling_ratio=h.POOLER_SAMPLING_RATIO,
+                max_samples=cfg.TPU.ROI_MAX_SAMPLES)

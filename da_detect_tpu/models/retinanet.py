@@ -228,11 +228,10 @@ def build_retinanet(cfg):
 
     dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
     backbone, spec = build_backbone(cfg)
+    from .anchors import retinanet_octave_sizes
     r = cfg.MODEL.RETINANET
     gen = make_anchor_generator_retinanet(cfg)
-    octave_sizes = tuple(
-        tuple(size * r.OCTAVE ** (i / float(r.SCALES_PER_OCTAVE))
-              for i in range(r.SCALES_PER_OCTAVE)) for size in r.ANCHOR_SIZES)
+    octave_sizes = retinanet_octave_sizes(cfg)
     return RetinaNet(
         backbone=backbone,
         num_classes=r.NUM_CLASSES,

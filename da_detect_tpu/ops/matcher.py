@@ -37,7 +37,12 @@ def match_proposals(iou: jnp.ndarray, gt_valid: jnp.ndarray,
 
     if allow_low_quality_matches:
         # best value per GT over predictions; ties all count (reference
-        # matcher.py:99-105 uses == comparison on the max)
+        # matcher.py:99-105 uses == comparison on the max). DELIBERATE
+        # DEVIATION: the reference restores even when a GT's best IoU is 0,
+        # which marks EVERY zero-IoU prediction as that GT's match (an
+        # upstream pathology); the `best_per_gt > 0` guard keeps such
+        # predictions background instead — this only differs for a valid GT
+        # overlapping nothing at all.
         best_per_gt = jnp.max(masked, axis=-2, keepdims=True)      # [..., 1, G]
         is_best = (masked == best_per_gt) & gt_valid[..., None, :] & (best_per_gt > 0)
         restore = jnp.any(is_best, axis=-1)                        # [..., N]

@@ -6,7 +6,7 @@ overhead and HBM round-trips for the suppression state. This kernel keeps the
 score-sorted boxes and all state resident in VMEM and does the whole
 suppression sweep in one launch:
 
-  for each 1024-box chunk (sequential, score order):
+  for each 512-box chunk (sequential, score order):
       resolve the chunk internally by fixpoint iteration on its [C, C]
       suppression matrix (MXU matmuls; the greedy solution is the unique
       fixpoint of keep = valid & ~(keep @ S))

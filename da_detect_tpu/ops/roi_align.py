@@ -21,8 +21,14 @@ clamped to >= 1, the -1/H out-of-bounds rule, and edge clamping
 ``sampling_ratio == 0`` (adaptive ceil(roi_size/P) samples per bin,
 data-dependent in the reference) is emulated with a static ``max_samples``
 grid whose per-ROI excess samples get zero weight — identical results while
-grid_h/w <= max_samples (always true for C4 feature maps; for FPN the pooler
-assigns levels so canonical ROIs stay within the cap).
+grid_h/w <= max_samples. The default (8, cfg TPU.ROI_MAX_SAMPLES) covers any
+ROI side up to max_samples*P/scale (C4: 8*14*16 = 1792 px — wider than every
+shipped canvas); an ROI longer than that gets max_samples uniformly-spaced
+samples per bin instead of the reference's ceil count (only reachable on
+FPN's fine levels for extremely elongated boxes, where the level mapper
+normally assigns coarser levels). The sample sum is folded into the interp
+matrices, so matmul cost does NOT grow with max_samples — only the
+[R, P, S, A] weight build does (VPU, trivial).
 """
 
 from __future__ import annotations
@@ -85,7 +91,7 @@ def _roi_grid(rois, spatial_scale: float, pooled: int, sampling_ratio: int,
                                    "spatial_scale"))
 def roi_align_image(features: jnp.ndarray, rois: jnp.ndarray, *,
                     spatial_scale: float, output_size: int,
-                    sampling_ratio: int = 0, max_samples: int = 4) -> jnp.ndarray:
+                    sampling_ratio: int = 0, max_samples: int = 8) -> jnp.ndarray:
     """ROIAlign over one image. features [H, W, C], rois [R, 4] xyxy in image
     coordinates. Returns [R, P, P, C] (P = output_size).
 

@@ -180,7 +180,7 @@ def fits_vmem(features_shape, itemsize: int, output_size: int = 14) -> bool:
 def roi_align_pallas(features: jnp.ndarray, rois: jnp.ndarray, *,
                      spatial_scale: float, output_size: int,
                      sampling_ratio: int = 0,
-                     max_samples: int = 4) -> jnp.ndarray:
+                     max_samples: int = 8) -> jnp.ndarray:
     """Batched ROIAlign: features [B, H, W, C], rois [B, R, 4] ->
     [B, R, P, P, C]. Drop-in for ops.roi_align.roi_align."""
     from .roi_align import _interp_matrix, _roi_grid

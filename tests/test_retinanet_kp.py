@@ -38,6 +38,28 @@ def test_retinanet_eval_and_train():
     assert float(losses["loss_retina_cls"]) < 5.0
 
 
+def test_retinanet_plus_da_is_rejected():
+    """RetinaNet has no DA heads (reference parity) — combining the flags
+    must fail loudly, not silently train source-only."""
+    import pytest
+
+    cfg = retinanet_cfg()
+    cfg.MODEL.DOMAIN_ADAPTATION_ON = True
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        build_detection_model(cfg)
+
+
+def test_triplet_margin_lr_plumbed():
+    """cfg MODEL.DA_HEADS.TRIPLET_MARGIN_LR must reach the DA module (it
+    was silently ignored before — the margin schedule ran 100x off)."""
+    from da_detect_tpu.models.da import make_da_heads
+
+    cfg = get_cfg()
+    cfg.MODEL.DA_HEADS.TRIPLET_MARGIN_LR = 0.123
+    mod = make_da_heads(cfg, jnp.float32)
+    assert mod.triplet_margin_lr == 0.123
+
+
 def test_retinanet_approx_topk_candidate_selection():
     """TPU.APPROX_TOPK engages approx_max_k on big levels; the candidate
     scores it returns must come from near the top of the exact ordering."""

@@ -110,6 +110,23 @@ def test_roi_align_adaptive():
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
 
 
+def test_roi_align_adaptive_canvas_wide_roi():
+    """A proposal spanning the whole 1216-px-wide parity canvas needs
+    ceil(76/14) = 6 adaptive samples per bin — more than the old cap of 4;
+    the default max_samples=8 must reproduce the uncapped reference count."""
+    rng = np.random.RandomState(3)
+    h, w = 38, 76  # C4 map of a 608x1216 canvas
+    feat = rng.randn(h, w, 8).astype(np.float32)
+    rois = np.asarray([[2.0, 2.0, 1210.0, 600.0],     # nearly canvas-sized
+                       [0.0, 100.0, 1216.0, 180.0],   # elongated full-width
+                       [30.0, 40.0, 200.0, 300.0]], np.float32)
+    want = np_roi_align(feat, rois, 1.0 / 16, 14, 0)  # uncapped ceil oracle
+    got = roi_align_image(jnp.asarray(feat), jnp.asarray(rois),
+                          spatial_scale=1.0 / 16, output_size=14,
+                          sampling_ratio=0)           # default max_samples
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
+
+
 def test_roi_align_oob_rois():
     """ROIs fully/partially outside the feature map must not blow up."""
     feat, _ = make_case(9)
