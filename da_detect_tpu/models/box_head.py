@@ -175,7 +175,8 @@ class SampledRois(NamedTuple):
 
 def subsample_proposals(key, proposals_boxes, proposals_valid, gt_boxes,
                         gt_labels, gt_valid, is_source, *, fg_iou, bg_iou,
-                        batch_per_image, positive_fraction, reg_weights):
+                        batch_per_image, positive_fraction, reg_weights,
+                        approx_topk=False):
     """Reference FastRCNNLossComputation.subsample, fixed-shape.
 
     proposals_* [B, P(, 4)]; gt_* [B, G(, 4)]; is_source [B].
@@ -196,7 +197,7 @@ def subsample_proposals(key, proposals_boxes, proposals_valid, gt_boxes,
         labels = jnp.where(src, labels, jnp.where(pv, 0, -1))
         reg = box_ops.encode_boxes(matched_gt, pb, reg_weights)
         pos_m, neg_m = balanced_sample(k, labels, batch_per_image,
-                                       positive_fraction)
+                                       positive_fraction, approx=approx_topk)
         idx, is_pos, valid = selection_to_indices(pos_m, neg_m, batch_per_image)
         return SampledRois(
             rois=pb[idx],

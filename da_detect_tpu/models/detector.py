@@ -108,10 +108,11 @@ class GeneralizedRCNN(nn.Module):
                       if self.mask_head.extractor is None else None)
             mask_logits = self.mask_head(feats, dets.boxes, shared)
             # per-detection GT-class channel, sigmoid probs [B, D, Hm, Wm]
+            # (gather before the f32 cast — see mask_rcnn_loss)
             probs = jax.nn.sigmoid(jnp.take_along_axis(
-                mask_logits.astype(jnp.float32),
+                mask_logits,
                 dets.labels[:, :, None, None, None].clip(0),
-                axis=-1)[..., 0])
+                axis=-1)[..., 0].astype(jnp.float32))
             return dets, probs
         return dets
 
@@ -314,12 +315,14 @@ def build_detection_model(cfg):
             fg_iou=rpn.FG_IOU_THRESHOLD, bg_iou=rpn.BG_IOU_THRESHOLD,
             batch_per_image=rpn.BATCH_SIZE_PER_IMAGE,
             positive_fraction=rpn.POSITIVE_FRACTION,
-            straddle_thresh=rpn.STRADDLE_THRESH),
+            straddle_thresh=rpn.STRADDLE_THRESH,
+            approx_topk=cfg.TPU.APPROX_TOPK),
         sample_cfg=dict(
             fg_iou=roi.FG_IOU_THRESHOLD, bg_iou=roi.BG_IOU_THRESHOLD,
             batch_per_image=roi.BATCH_SIZE_PER_IMAGE,
             positive_fraction=roi.POSITIVE_FRACTION,
-            reg_weights=tuple(roi.BBOX_REG_WEIGHTS)),
+            reg_weights=tuple(roi.BBOX_REG_WEIGHTS),
+            approx_topk=cfg.TPU.APPROX_TOPK),
         post_cfg=dict(
             score_thresh=roi.SCORE_THRESH, nms_thresh=roi.NMS,
             detections_per_img=roi.DETECTIONS_PER_IMG,

@@ -125,11 +125,22 @@ def select_proposals(level_anchors, level_logits, level_deltas, image_sizes,
         # whole batch jointly — NOT per image (rpn/inference.py:160-163)
         flat = masked.reshape(-1)
         kb = min(fpn_post_nms_top_n, flat.shape[0])
-        thresh = jax.lax.top_k(flat, kb)[0][-1]
+        # the batch-wide threshold and the per-image compaction are both
+        # top-k over ~N_all(=270k/img at 800x1344) candidates — full sorts
+        # on TPU (profiled ~8 ms/step); approx_max_k them under the same
+        # knob/guard as the per-level selection
+        approx = approx_topk and flat.shape[0] > 16 * kb
+        if approx:
+            thresh = jax.lax.approx_max_k(flat, kb)[0][-1]
+        else:
+            thresh = jax.lax.top_k(flat, kb)[0][-1]
         sel_valid = valid & (masked >= thresh)
         # compact each image's survivors into the front of a [B, k] buffer
-        order = jnp.argsort(-jnp.where(sel_valid, scores, -jnp.inf), axis=1,
-                            stable=True)[:, :k]
+        compact_scores = jnp.where(sel_valid, scores, -jnp.inf)
+        if approx:
+            _, order = jax.lax.approx_max_k(compact_scores, k)
+        else:
+            order = jnp.argsort(-compact_scores, axis=1, stable=True)[:, :k]
         return Proposals(
             boxes=jnp.take_along_axis(boxes, order[..., None], axis=1),
             scores=jnp.take_along_axis(scores, order, axis=1),
@@ -155,7 +166,7 @@ def append_gt_proposals(proposals: Proposals, gt_boxes, gt_valid, is_source):
 
 def rpn_loss(key, anchors, objectness, deltas, gt_boxes, gt_valid, is_source,
              image_sizes, *, fg_iou, bg_iou, batch_per_image, positive_fraction,
-             straddle_thresh):
+             straddle_thresh, approx_topk=False):
     """RPN losses (reference rpn/loss.py:101-169).
 
     anchors [N, 4] (all levels concatenated); objectness [B, N] logits;
@@ -184,7 +195,7 @@ def rpn_loss(key, anchors, objectness, deltas, gt_boxes, gt_valid, is_source,
     labels, reg_targets = jax.vmap(prepare)(gt_boxes, gt_valid, is_source,
                                             image_sizes)
     pos_mask, neg_mask = balanced_sample(key, labels, batch_per_image,
-                                         positive_fraction)
+                                         positive_fraction, approx=approx_topk)
     sampled = pos_mask | neg_mask
     n_sampled = jnp.maximum(jnp.sum(sampled), 1)
 

@@ -16,23 +16,31 @@ import jax
 import jax.numpy as jnp
 
 
-def _rank_among(mask: jnp.ndarray, priority: jnp.ndarray) -> jnp.ndarray:
-    """Rank (0-based) of each element among ``mask`` elements by descending
-    ``priority``; invalid elements get large ranks."""
+def _take_random(mask, rand_key_arr, count, cap, approx):
+    """Select ``count`` (dynamic, <= cap) elements of ``mask`` uniformly at
+    random: the top-``count`` by iid uniform priority, found via a
+    top-``cap`` threshold instead of ranking the whole axis (a full
+    argsort over the 268k FPN anchors cost ~4 ms/step; profiled).
+
+    With ``approx`` (TPU.APPROX_TOPK) the threshold comes from
+    ``approx_max_k``: its candidate set may miss a few true-top keys, so the
+    threshold sits lower and a handful of extra elements can be selected —
+    still a uniform random sample, just not exactly ``count`` of them.
+    """
     n = mask.shape[-1]
-    key = jnp.where(mask, priority, -jnp.inf)
-    order = jnp.argsort(-key, axis=-1)
-    put = jnp.broadcast_to(jnp.arange(n), order.shape)
-    if order.ndim > 1:
-        ranks = jax.vmap(lambda o, p: jnp.zeros_like(o).at[o].set(p))(
-            order.reshape(-1, n), put.reshape(-1, n)).reshape(order.shape)
+    masked = jnp.where(mask, rand_key_arr, -jnp.inf)
+    k = min(cap, n)
+    if approx and n > 16 * k:
+        vals = jax.lax.approx_max_k(masked, k)[0]
     else:
-        ranks = jnp.zeros_like(order).at[order].set(put)
-    return jnp.where(mask, ranks, n)
+        vals = jax.lax.top_k(masked, k)[0]
+    idx = jnp.clip(count - 1, 0, k - 1)
+    thr = jnp.take_along_axis(vals, idx[..., None], axis=-1)[..., 0]
+    return mask & (masked >= thr[..., None]) & (count[..., None] > 0)
 
 
 def balanced_sample(key: jax.Array, labels: jnp.ndarray, batch_size: int,
-                    positive_fraction: float):
+                    positive_fraction: float, approx: bool = False):
     """labels [..., N]: -1 ignore, 0 negative, >=1 positive.
 
     Returns (pos_selected, neg_selected) bool masks of shape [..., N] with
@@ -46,10 +54,10 @@ def balanced_sample(key: jax.Array, labels: jnp.ndarray, batch_size: int,
     num_pos = jnp.minimum(jnp.sum(is_pos, axis=-1), num_pos_cap)
     num_neg = jnp.minimum(jnp.sum(is_neg, axis=-1), batch_size - num_pos)
 
-    rp = _rank_among(is_pos, jax.random.uniform(kp, labels.shape))
-    rn = _rank_among(is_neg, jax.random.uniform(kn, labels.shape))
-    pos_selected = is_pos & (rp < num_pos[..., None])
-    neg_selected = is_neg & (rn < num_neg[..., None])
+    pos_selected = _take_random(is_pos, jax.random.uniform(kp, labels.shape),
+                                num_pos, num_pos_cap, approx)
+    neg_selected = _take_random(is_neg, jax.random.uniform(kn, labels.shape),
+                                num_neg, batch_size, approx)
     return pos_selected, neg_selected
 
 
