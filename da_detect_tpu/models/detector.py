@@ -85,7 +85,8 @@ class GeneralizedRCNN(nn.Module):
         return feats, logits, deltas, anchors
 
     # -- inference ---------------------------------------------------------
-    def __call__(self, batch: ImageBatch, with_masks: bool = False):
+    def __call__(self, batch: ImageBatch, with_masks: bool = False,
+                 with_keypoints: bool = False):
         feats, logits, deltas, anchors = self._features_and_rpn(batch.images)
         props = select_proposals(anchors, logits, deltas,
                                  batch.sizes.astype(jnp.float32),
@@ -114,6 +115,15 @@ class GeneralizedRCNN(nn.Module):
                 dets.labels[:, :, None, None, None].clip(0),
                 axis=-1)[..., 0].astype(jnp.float32))
             return dets, probs
+        if with_keypoints and self.keypoint_head is not None:
+            # second pass over the final detections, mirroring the reference
+            # keypoint eval flow (roi_heads/keypoint_head/inference.py:1-80:
+            # heatmap argmax decoded back to image coordinates)
+            from .keypoint_head import heatmaps_to_keypoints
+            kp_logits = self.keypoint_head(feats, dets.boxes)  # [B,D,H,H,K]
+            kps = jax.vmap(heatmaps_to_keypoints)(
+                kp_logits.astype(jnp.float32), dets.boxes)      # [B,D,K,3]
+            return dets, kps
         return dets
 
     # -- training ----------------------------------------------------------
@@ -208,16 +218,23 @@ class GeneralizedRCNN(nn.Module):
             sampled_t, x_t = self._subsample_and_extract(
                 tgt_key, feats_t, props_t, targets_t, jnp.zeros((b,), bool))
 
-            # instance features of both domains for the DA instance head /
-            # consistency (cheap heads -> the 2k concat is fine)
-            da_ins_feas = jnp.concatenate([x_s, x_t], axis=0)
-            ins_valid = jnp.concatenate([sampled_s.valid, sampled_t.valid], axis=0)
-            dom_mask = jnp.concatenate(
-                [sampled_s.valid, jnp.zeros_like(sampled_t.valid)], axis=0)
-            det_feats = [jnp.concatenate([fs, ft], axis=0)
-                         for fs, ft in zip(feats_s, feats_t)]
-            is_source_det = jnp.concatenate(
-                [jnp.ones((b,), bool), jnp.zeros((b,), bool)])
+            # Instance + image features of both domains for the DA heads.
+            # INTERLEAVE (s0,t0,s1,t1,...) instead of concatenating the
+            # domain halves: under data-parallel sharding a concat along the
+            # batch axis re-distributes rows across devices (XLA inserts an
+            # all-to-all per tensor), while stack(axis=1)+reshape keeps every
+            # device's rows contiguous — zero communication. All DA losses
+            # are row-mask-based and permutation-invariant, so the values
+            # are unchanged.
+            def _ilv(a_s, a_t):
+                return jnp.stack([a_s, a_t], axis=1).reshape(
+                    (2 * a_s.shape[0],) + a_s.shape[1:])
+
+            da_ins_feas = _ilv(x_s, x_t)
+            ins_valid = _ilv(sampled_s.valid, sampled_t.valid)
+            dom_mask = _ilv(sampled_s.valid, jnp.zeros_like(sampled_t.valid))
+            det_feats = [_ilv(fs, ft) for fs, ft in zip(feats_s, feats_t)]
+            is_source_det = _ilv(jnp.ones((b,), bool), jnp.zeros((b,), bool))
 
             img_fea_set = None
             da_ins_set = None
