@@ -135,9 +135,12 @@ def select_proposals(level_anchors, level_logits, level_deltas, image_sizes,
         else:
             thresh = jax.lax.top_k(flat, kb)[0][-1]
         sel_valid = valid & (masked >= thresh)
-        # compact each image's survivors into the front of a [B, k] buffer
+        # compact each image's survivors into the front of a [B, k] buffer.
+        # Gated independently of the batch-wide guard: this top-k runs over
+        # the per-image axis (~num_levels*post_nms vs k, often only ~5x),
+        # where approx_max_k's recall guarantees need a 16x margin
         compact_scores = jnp.where(sel_valid, scores, -jnp.inf)
-        if approx:
+        if approx and compact_scores.shape[1] > 16 * k:
             _, order = jax.lax.approx_max_k(compact_scores, k)
         else:
             order = jnp.argsort(-compact_scores, axis=1, stable=True)[:, :k]

@@ -24,8 +24,11 @@ def _take_random(mask, rand_key_arr, count, cap, approx):
 
     With ``approx`` (TPU.APPROX_TOPK) the threshold comes from
     ``approx_max_k``: its candidate set may miss a few true-top keys, so the
-    threshold sits lower and a handful of extra elements can be selected —
-    still a uniform random sample, just not exactly ``count`` of them.
+    threshold sits lower and extra elements pass it. A cumulative-count cap
+    truncates the selection to exactly ``count`` elements in both paths —
+    this also covers duplicate float32 uniform keys at the threshold and the
+    thr=-inf case (approx candidate under-fill), which otherwise over-select
+    even on the exact path.
     """
     n = mask.shape[-1]
     masked = jnp.where(mask, rand_key_arr, -jnp.inf)
@@ -36,7 +39,8 @@ def _take_random(mask, rand_key_arr, count, cap, approx):
         vals = jax.lax.top_k(masked, k)[0]
     idx = jnp.clip(count - 1, 0, k - 1)
     thr = jnp.take_along_axis(vals, idx[..., None], axis=-1)[..., 0]
-    return mask & (masked >= thr[..., None]) & (count[..., None] > 0)
+    sel = mask & (masked >= thr[..., None]) & (count[..., None] > 0)
+    return sel & (jnp.cumsum(sel, axis=-1) <= count[..., None])
 
 
 def balanced_sample(key: jax.Array, labels: jnp.ndarray, batch_size: int,
