@@ -55,9 +55,15 @@ def build_dataset(names: Sequence[str], is_train: bool, is_source: bool = True):
     return D.ConcatDataset(ds)
 
 
+# COCO person-17 left/right swap for horizontal flips (reference
+# structures/keypoint.py PersonKeypoints.FLIP_MAP)
+_PERSON_KP_FLIP_INDS = (0, 2, 1, 4, 3, 6, 5, 8, 7, 10, 9, 12, 11, 14, 13,
+                        16, 15)
+
+
 class _SampleProcessor:
     def __init__(self, cfg, is_train: bool, with_masks: bool = False,
-                 mask_resolution: int = 112):
+                 mask_resolution: int = 112, with_keypoints: bool = False):
         self.is_train = is_train
         self.min_sizes = (tuple(cfg.INPUT.MIN_SIZE_TRAIN) if is_train
                           else (cfg.INPUT.MIN_SIZE_TEST,))
@@ -71,6 +77,8 @@ class _SampleProcessor:
         self.max_gt = cfg.TPU.MAX_GT_BOXES
         self.with_masks = with_masks
         self.mask_resolution = mask_resolution
+        self.with_keypoints = with_keypoints
+        self.num_keypoints = cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_CLASSES
 
     def draw_params(self, rng: np.random.RandomState):
         return dict(min_size=int(rng.choice(self.min_sizes)),
@@ -125,10 +133,31 @@ class _SampleProcessor:
                                            self.mask_resolution)
                     masks[i] = m[:, ::-1] if params["hflip"] else m
             out["masks"] = masks
+        if self.with_keypoints:
+            # resize-scale + legacy-flip keypoints, swapping left/right
+            # semantic pairs (reference structures/keypoint.py transpose:
+            # x -> width - x - 1, v==0 rows forced to 0)
+            k = self.num_keypoints
+            kps = np.zeros((g, k, 3), np.float32)
+            sx, sy = rw / max(w, 1), rh / max(h, 1)
+            for i in range(n):
+                raw = sample.get("keypoints", [None] * (i + 1))[i]
+                if raw is None:
+                    continue
+                kp = np.asarray(raw, np.float32).reshape(-1, 3)[:k]
+                kp[:, 0] *= sx
+                kp[:, 1] *= sy
+                if params["hflip"]:
+                    kp[:, 0] = rw - kp[:, 0] - 1
+                    if len(kp) == len(_PERSON_KP_FLIP_INDS):
+                        kp = kp[list(_PERSON_KP_FLIP_INDS)]
+                kp[kp[:, 2] == 0] = 0.0
+                kps[i, :len(kp)] = kp
+            out["keypoints"] = kps
         return out
 
 
-def _stack(processed, with_masks):
+def _stack(processed, with_masks, with_keypoints=False):
     batch = ImageBatch(
         images=np.stack([p["image"] for p in processed]),
         sizes=np.stack([p["sizes"] for p in processed]),
@@ -140,6 +169,8 @@ def _stack(processed, with_masks):
         labels=np.stack([p["labels"] for p in processed]),
         valid=np.stack([p["valid"] for p in processed]),
         masks=np.stack([p["masks"] for p in processed]) if with_masks else None,
+        keypoints=(np.stack([p["keypoints"] for p in processed])
+                   if with_keypoints else None),
     )
     return batch, targets
 
@@ -217,6 +248,7 @@ def _check_batch_sharding(batch_size: int, sharding, what: str) -> None:
 
 def make_data_loader(cfg, *, is_train: bool, dataset_names=None,
                      is_source: bool = True, with_masks: bool = False,
+                     with_keypoints: bool = False,
                      shuffle: bool | None = None, seed: int = 0,
                      infinite: bool | None = None, sharding=None,
                      hflip: bool = False):
@@ -226,7 +258,8 @@ def make_data_loader(cfg, *, is_train: bool, dataset_names=None,
     if dataset_names is None:
         dataset_names = cfg.DATASETS.TRAIN if is_train else cfg.DATASETS.TEST
     dataset = build_dataset(dataset_names, is_train, is_source)
-    proc = _SampleProcessor(cfg, is_train, with_masks)
+    proc = _SampleProcessor(cfg, is_train, with_masks,
+                            with_keypoints=with_keypoints)
     if hflip:
         proc.flip_prob = 1.0
     batch_size = (cfg.SOLVER.IMS_PER_BATCH if is_train
@@ -289,7 +322,7 @@ def make_data_loader(cfg, *, is_train: bool, dataset_names=None,
         while pad_to and len(processed) < pad_to:
             processed.append(processed[-1])
             ids.append(None)
-        batch, targets = _stack(processed, with_masks)
+        batch, targets = _stack(processed, with_masks, with_keypoints)
         if sharding is not None:
             batch = jax.device_put(batch, sharding)
             targets = jax.device_put(targets, sharding)

@@ -81,6 +81,7 @@ class COCODataset:
             boxes=boxes,
             labels=labels,
             segmentations=segs,
+            keypoints=[a.get("keypoints") for a in anns],
             is_source=self.is_source,
         )
 

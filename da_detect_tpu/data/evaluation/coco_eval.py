@@ -34,6 +34,49 @@ AREA_RNGS = OrderedDict([
     ("large", (96.0 ** 2, 1e10)),
 ])
 MAX_DETS = (1, 10, 100)
+# keypoint (OKS) protocol parameters — pycocotools COCOeval setKpParams:
+# maxDets (20,), areas all/medium/large only, per-keypoint sigmas (the COCO
+# person-17 constants)
+KP_AREA_RNGS = OrderedDict([
+    ("all", (0.0, 1e10)),
+    ("medium", (32.0 ** 2, 96.0 ** 2)),
+    ("large", (96.0 ** 2, 1e10)),
+])
+KP_MAX_DETS = (20,)
+COCO_KP_SIGMAS = np.array([
+    .26, .25, .25, .35, .35, .79, .79, .72, .72, .62, .62, 1.07, 1.07,
+    .87, .87, .89, .89]) / 10.0
+
+
+def _kp_oks(dts, gts):
+    """Object-keypoint-similarity matrix (pycocotools cocoeval computeOks):
+    per-keypoint gaussian falloff scaled by sigma^2 and gt area; gts with no
+    labeled keypoint use a box-proximity fallback."""
+    ious = np.zeros((len(dts), len(gts)))
+    for j, g in enumerate(gts):
+        kg = np.asarray(g["_kps"], np.float64).reshape(-1, 3)
+        k = kg.shape[0]
+        sigmas = COCO_KP_SIGMAS if k == len(COCO_KP_SIGMAS) else np.full(k, 0.1)
+        variances = (sigmas * 2.0) ** 2
+        xg, yg, vg = kg[:, 0], kg[:, 1], kg[:, 2]
+        k1 = int((vg > 0).sum())
+        bx, by, bw, bh = g["bbox"]
+        x0, x1 = bx - bw, bx + 2 * bw
+        y0, y1 = by - bh, by + 2 * bh
+        for i, d in enumerate(dts):
+            kd = np.asarray(d["_kps"], np.float64).reshape(-1, 3)
+            xd, yd = kd[:, 0], kd[:, 1]
+            if k1 > 0:
+                dx, dy = xd - xg, yd - yg
+            else:
+                z = np.zeros(k)
+                dx = np.maximum(z, x0 - xd) + np.maximum(z, xd - x1)
+                dy = np.maximum(z, y0 - yd) + np.maximum(z, yd - y1)
+            e = (dx ** 2 + dy ** 2) / variances / (g["area"] + np.spacing(1)) / 2
+            if k1 > 0:
+                e = e[vg > 0]
+            ious[i, j] = np.sum(np.exp(-e)) / e.shape[0] if e.shape[0] else 0.0
+    return ious
 
 
 def _segm_iou(dts, gts, iscrowd):
@@ -111,6 +154,8 @@ def _evaluate_img(dts, gts, area_rng, max_det, iou_type="bbox"):
 
     if iou_type == "segm":
         ious = _segm_iou(dts, gts, iscrowd)
+    elif iou_type == "keypoints":
+        ious = _kp_oks(dts, gts)
     else:
         ious = _bbox_iou_xywh(
             np.asarray([d["bbox"] for d in dts], np.float64).reshape(-1, 4),
@@ -193,6 +238,9 @@ class CocoEvaluator:
     def __init__(self, dataset, iou_type: str = "bbox"):
         self.dataset = dataset
         self.iou_type = iou_type
+        kp = iou_type == "keypoints"
+        self.area_rngs = KP_AREA_RNGS if kp else AREA_RNGS
+        self.max_dets = KP_MAX_DETS if kp else MAX_DETS
         self.cat_ids = sorted(dataset.contiguous_category_id_to_json_id.values())
         self.cont_for_json = dataset.json_category_id_to_contiguous_id
         self._img_hw = {im["id"]: (im["height"], im["width"])
@@ -214,6 +262,14 @@ class CocoEvaluator:
                 if isinstance(seg, list):
                     g["_mask"], g["_mask_offset"] = rasterize_polygons_crop(
                         seg, self._img_hw[img_id])
+            elif self.iou_type == "keypoints":
+                kps = np.asarray(a.get("keypoints", []),
+                                 np.float64).reshape(-1, 3)
+                g["_kps"] = kps
+                # pycocotools: gts with no labeled keypoint are ignore-only
+                nk = a.get("num_keypoints", int((kps[:, 2] > 0).sum())
+                           if len(kps) else 0)
+                g["_ignore"] = g["_ignore"] or nk == 0
             out.append(g)
         return out
 
@@ -236,14 +292,21 @@ class CocoEvaluator:
                     from ..masker import paste_single_crop
                     d["_mask"], d["_mask_offset"] = paste_single_crop(
                         np.asarray(mask_probs[di]), b, self._img_hw[img_id])
+                elif self.iou_type == "keypoints":
+                    kp = np.asarray(p["keypoints"][di], np.float64)
+                    d["_kps"] = kp
+                    # pycocotools loadRes: dt bbox/area from keypoint extents
+                    x0, x1 = kp[:, 0].min(), kp[:, 0].max()
+                    y0, y1 = kp[:, 1].min(), kp[:, 1].max()
+                    d["bbox"] = [x0, y0, x1 - x0, y1 - y0]
                 dts[(img_id, json_cat)].append(d)
 
         # stats[cat][area][maxdet] = (precision, recall)
         per_cat = {}
         for c in self.cat_ids:
             per_area = {}
-            for aname, arng in AREA_RNGS.items():
-                for md in MAX_DETS:
+            for aname, arng in self.area_rngs.items():
+                for md in self.max_dets:
                     imgs = [_evaluate_img(dts[(i, c)], self._gts_for(i, c),
                                           arng, md, self.iou_type)
                             for i in img_ids]
@@ -252,7 +315,8 @@ class CocoEvaluator:
         self._per_cat = per_cat
         return self.summarize()
 
-    def _mean_ap(self, cats, area="all", max_det=100, thr=None):
+    def _mean_ap(self, cats, area="all", max_det=None, thr=None):
+        max_det = self.max_dets[-1] if max_det is None else max_det
         ps = []
         for c in cats:
             precision, _ = self._per_cat[c][(area, max_det)]
@@ -263,7 +327,8 @@ class CocoEvaluator:
                 ps.append(valid.mean())
         return float(np.mean(ps)) if ps else -1.0
 
-    def _mean_ar(self, cats, area="all", max_det=100):
+    def _mean_ar(self, cats, area="all", max_det=None):
+        max_det = self.max_dets[-1] if max_det is None else max_det
         rs = []
         for c in cats:
             _, recall = self._per_cat[c][(area, max_det)]
@@ -278,12 +343,20 @@ class CocoEvaluator:
         res["AP"] = self._mean_ap(cats)
         res["AP50"] = self._mean_ap(cats, thr=0.5)
         res["AP75"] = self._mean_ap(cats, thr=0.75)
-        res["APs"] = self._mean_ap(cats, area="small")
-        res["APm"] = self._mean_ap(cats, area="medium")
-        res["APl"] = self._mean_ap(cats, area="large")
-        res["AR1"] = self._mean_ar(cats, max_det=1)
-        res["AR10"] = self._mean_ar(cats, max_det=10)
-        res["AR100"] = self._mean_ar(cats, max_det=100)
+        if self.iou_type == "keypoints":
+            # OKS protocol metric set (pycocotools kp summarize)
+            res["APm"] = self._mean_ap(cats, area="medium")
+            res["APl"] = self._mean_ap(cats, area="large")
+            res["AR20"] = self._mean_ar(cats)
+            res["ARm"] = self._mean_ar(cats, area="medium")
+            res["ARl"] = self._mean_ar(cats, area="large")
+        else:
+            res["APs"] = self._mean_ap(cats, area="small")
+            res["APm"] = self._mean_ap(cats, area="medium")
+            res["APl"] = self._mean_ap(cats, area="large")
+            res["AR1"] = self._mean_ar(cats, max_det=1)
+            res["AR10"] = self._mean_ar(cats, max_det=10)
+            res["AR100"] = self._mean_ar(cats, max_det=100)
         # per-category AP / AP50 (the DA fork's addition, coco_eval.py:62-66)
         per_cat = OrderedDict()
         for c in cats:

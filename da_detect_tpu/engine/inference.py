@@ -21,17 +21,27 @@ log = logging.getLogger(__name__)
 
 
 def compute_on_dataset(model, variables, data_loader, progress_every: int = 50,
-                       with_masks: bool = False):
-    """Returns {image_id: dict(boxes, scores, labels[, mask_probs])} in
-    *original* image coordinates (xyxy)."""
-    eval_step = jax.jit(lambda v, b: model.apply(v, b, with_masks=True)
-                        if with_masks else model.apply(v, b))
+                       with_masks: bool = False, with_keypoints: bool = False):
+    """Returns {image_id: dict(boxes, scores, labels[, mask_probs]
+    [, keypoints])} in *original* image coordinates (xyxy)."""
+    if with_masks:
+        eval_step = jax.jit(lambda v, b: model.apply(v, b, with_masks=True))
+    elif with_keypoints:
+        eval_step = jax.jit(lambda v, b: model.apply(v, b, with_keypoints=True))
+    else:
+        eval_step = jax.jit(lambda v, b: model.apply(v, b))
     predictions: dict[int, Any] = {}
     t0 = time.perf_counter()
     n_images = 0
     for bi, (batch, image_ids) in enumerate(data_loader):
         out = jax.device_get(eval_step(variables, batch))
-        dets, mask_probs = out if with_masks else (out, None)
+        mask_probs = keypoints = None
+        if with_masks:
+            dets, mask_probs = out
+        elif with_keypoints:
+            dets, keypoints = out
+        else:
+            dets = out
         sizes = np.asarray(jax.device_get(batch.sizes))
         orig = np.asarray(jax.device_get(batch.orig_sizes))
         for i, img_id in enumerate(image_ids):
@@ -50,6 +60,11 @@ def compute_on_dataset(model, variables, data_loader, progress_every: int = 50,
             )
             if mask_probs is not None:
                 predictions[img_id]["mask_probs"] = mask_probs[i][valid]
+            if keypoints is not None:
+                kp = keypoints[i][valid].astype(np.float32).copy()
+                kp[..., 0] *= sx
+                kp[..., 1] *= sy
+                predictions[img_id]["keypoints"] = kp
             n_images += 1
         if progress_every and (bi + 1) % progress_every == 0:
             dt = time.perf_counter() - t0
@@ -71,7 +86,8 @@ def inference(model, variables, data_loader, dataset, *, iou_types=("bbox",),
     (reference inference.py:76-129). Multi-host: every process evaluates its
     loader shard; predictions are merged across processes."""
     predictions = compute_on_dataset(model, variables, data_loader,
-                                     with_masks="segm" in iou_types)
+                                     with_masks="segm" in iou_types,
+                                     with_keypoints="keypoints" in iou_types)
     from ..utils import comm
     if comm.get_world_size() > 1:
         predictions = comm.accumulate_predictions(predictions)

@@ -22,7 +22,9 @@ def run_training(cfg, logger, *, mode: str, schedule_kind: str,
 
     if mode == "source_only":
         loader, _ = make_data_loader(cfg, is_train=True, sharding=sharding,
-                                     with_masks=cfg.MODEL.MASK_ON, seed=seed)
+                                     with_masks=cfg.MODEL.MASK_ON,
+                                     with_keypoints=cfg.MODEL.KEYPOINT_ON,
+                                     seed=seed)
         data_iter = iter(loader)
     else:
         aligned = cfg.MODEL.DA_HEADS.ALIGNMENT
@@ -97,7 +99,11 @@ def run_eval(cfg, logger, model, state, sharding=None):
                                                dataset_names=(name,),
                                                sharding=sharding)
             logger.info("evaluating on %s (%d images)", name, len(dataset))
-            iou_types = ("bbox", "segm") if cfg.MODEL.MASK_ON else ("bbox",)
+            iou_types = ("bbox",)
+            if cfg.MODEL.MASK_ON:
+                iou_types += ("segm",)
+            if cfg.MODEL.KEYPOINT_ON:
+                iou_types += ("keypoints",)
             res, _ = inference(
                 model, variables, loader, dataset, iou_types=iou_types,
                 output_folder=cfg.MODEL.OUTPUT_DIR,

@@ -62,12 +62,19 @@ def make_triplet_datasets(root: str, n_images: int = 8, h: int = 120,
             cv2.imwrite(os.path.join(d, name), arr)
         images.append({"id": i + 1, "file_name": name, "height": h, "width": w})
         for b, lab in zip(boxes, labels):
+            # 17 visible keypoints on a deterministic interior grid — enough
+            # structure for the OKS protocol to score perfect/jittered preds
+            kx = b[0] + (np.arange(17) % 4 + 0.5) / 4.0 * (b[2] - b[0])
+            ky = b[1] + (np.arange(17) // 4 + 0.5) / 5.0 * (b[3] - b[1])
+            kps = np.stack([kx, ky, np.full(17, 2.0)], 1).reshape(-1)
             annotations.append({
                 "id": ann_id, "image_id": i + 1, "category_id": lab,
                 "bbox": [b[0], b[1], b[2] - b[0], b[3] - b[1]],
                 "area": (b[2] - b[0]) * (b[3] - b[1]), "iscrowd": 0,
                 "segmentation": [[b[0], b[1], b[2], b[1], b[2], b[3],
                                   b[0], b[3]]],
+                "keypoints": [round(float(v), 2) for v in kps],
+                "num_keypoints": 17,
             })
             ann_id += 1
 

@@ -83,6 +83,10 @@ def test_batch_mesh_divisibility_guard(tiny_data):
     cfg = get_cfg()
     cfg.DATASETS.TRAIN = ("tiny_clean_cocostyle",)
     cfg.SOLVER.IMS_PER_BATCH = 2
-    sharding = data_sharding(make_mesh(-1))  # 8 virtual devices
+    mesh = make_mesh(-1)
+    # precondition, asserted so an env where the virtual 8-device mesh was
+    # not applied fails with a clear message instead of "DID NOT RAISE"
+    assert mesh.devices.size == 8, (
+        f"expected the conftest 8-device CPU mesh, got {mesh.devices!r}")
     with pytest.raises(ValueError, match="not divisible by the data-mesh"):
-        make_data_loader(cfg, is_train=True, sharding=sharding)
+        make_data_loader(cfg, is_train=True, sharding=data_sharding(mesh))

@@ -78,3 +78,39 @@ def test_missing_detections_lower_recall(dataset):
     res, _ = CocoEvaluator(dataset).evaluate(preds)
     assert res["AR100"] < 0.99
     assert 0.0 < res["AP50"] < 1.0
+
+
+# --------------------------- keypoint (OKS) protocol ------------------------
+
+def kp_predictions(dataset, jitter=0.0, seed=0):
+    rng = np.random.RandomState(seed)
+    preds = {}
+    for idx in range(len(dataset)):
+        s = dataset.sample(idx)
+        kps = np.asarray([np.asarray(k, np.float32).reshape(-1, 3)
+                          for k in s["keypoints"]])
+        if jitter:
+            kps[..., :2] += rng.uniform(-jitter, jitter, kps[..., :2].shape)
+        kps[..., 2] = 1.0  # predicted keypoint score column
+        preds[s["image_id"]] = dict(
+            boxes=s["boxes"], scores=np.linspace(0.9, 0.5, len(s["boxes"])),
+            labels=s["labels"], keypoints=kps)
+    return preds
+
+
+def test_perfect_keypoints_oks_ap(dataset):
+    res, per_cat = CocoEvaluator(dataset, "keypoints").evaluate(
+        kp_predictions(dataset))
+    assert res["AP"] > 0.99, res
+    assert res["AP50"] > 0.99, res
+    assert set(res) == {"AP", "AP50", "AP75", "APm", "APl", "AR20",
+                        "ARm", "ARl"}
+
+
+def test_jittered_keypoints_oks_degrades(dataset):
+    res_p, _ = CocoEvaluator(dataset, "keypoints").evaluate(
+        kp_predictions(dataset))
+    res_j, _ = CocoEvaluator(dataset, "keypoints").evaluate(
+        kp_predictions(dataset, jitter=6.0))
+    assert res_j["AP"] < res_p["AP"]
+    assert res_j["AP"] > 0.0  # 6px off on tiny boxes: degraded, not zero

@@ -159,3 +159,66 @@ def test_mask_rcnn_train_and_segm_eval(tiny_data, tmp_path):
     assert "segm" in results
     some = next(iter(predictions.values()))
     assert "mask_probs" in some
+
+
+@pytest.mark.slow
+def test_keypoint_rcnn_train_and_oks_eval(tiny_data, tmp_path):
+    """KEYPOINT_ON end to end on the zoo keypoint config
+    (e2e_keypoint_rcnn_R_50_FPN_1x.yaml): keypoint transforms in the loader,
+    kp heatmap loss in the step, heatmap decode + OKS COCO evaluation
+    (reference roi_heads/keypoint_head/inference.py)."""
+    cfg = tiny_train_cfg()
+    cfg.merge_from_file("configs/e2e_keypoint_rcnn_R_50_FPN_1x.yaml")
+    cfg.MODEL.DOMAIN_ADAPTATION_ON = False
+    cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES = 3
+    cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT = 2
+    cfg.MODEL.RPN.PRE_NMS_TOP_N_TRAIN = 200
+    cfg.MODEL.RPN.POST_NMS_TOP_N_TRAIN = 64
+    cfg.MODEL.RPN.FPN_POST_NMS_TOP_N_TRAIN = 64
+    cfg.MODEL.RPN.PRE_NMS_TOP_N_TEST = 200
+    cfg.MODEL.RPN.POST_NMS_TOP_N_TEST = 64
+    cfg.MODEL.RPN.FPN_POST_NMS_TOP_N_TEST = 64
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 32
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.IMAGE_SHAPE = (128, 160)
+    cfg.TPU.MAX_GT_BOXES = 10
+    cfg.INPUT.MIN_SIZE_TRAIN = (120,)
+    cfg.INPUT.MAX_SIZE_TRAIN = 160
+    cfg.INPUT.MIN_SIZE_TEST = 120
+    cfg.INPUT.MAX_SIZE_TEST = 160
+    cfg.DATASETS.TRAIN = ("tiny_clean_cocostyle",)
+    cfg.DATASETS.TEST = ("tiny_foggy_cocostyle",)
+    cfg.SOLVER.IMS_PER_BATCH = 2
+    cfg.SOLVER.MAX_ITER = 2
+    cfg.TEST.IMS_PER_BATCH = 2
+    cfg.TEST.DETECTIONS_PER_IMG = 10
+    assert cfg.MODEL.KEYPOINT_ON
+
+    model = build_detection_model(cfg)
+    loader, _ = make_data_loader(cfg, is_train=True, seed=0,
+                                 with_keypoints=True)
+    it = iter(loader)
+    sample = next(it)
+    assert sample[1].keypoints is not None
+    assert sample[1].keypoints.shape[-2:] == (17, 3)
+    state, tx = create_train_state(cfg, model, jax.random.PRNGKey(0), sample,
+                                   "multistep")
+
+    def chained():
+        yield sample
+        yield from it
+
+    state = do_train(cfg, model, state, tx, chained(), max_iter=2,
+                     log_period=1)
+    loader.close()
+
+    test_loader, dataset = make_data_loader(
+        cfg, is_train=False, dataset_names=cfg.DATASETS.TEST)
+    variables = {"params": state.params, "frozen": state.frozen}
+    results, predictions = inference(model, variables, test_loader, dataset,
+                                     iou_types=("bbox", "keypoints"),
+                                     output_folder=str(tmp_path))
+    assert "keypoints" in results
+    assert "AP" in results["keypoints"]
+    some = next(iter(predictions.values()))
+    assert "keypoints" in some and some["keypoints"].shape[-2:] == (17, 3)
