@@ -6,6 +6,13 @@ step = 3 images) on the attached TPU chip, against the reference anchor of
 2.48 images/s/GPU (V100 Faster R-CNN R-50-C4 train, 0.4036 s/iter at
 1 im/GPU — MODEL_ZOO.md:21; see BASELINE.md).
 
+The measured step is the REFERENCE-EXACT WACV method: ALIGNMENT=True
+(tools/train_net_triplet.py:118-179 / generalized_rcnn.py:104-114 there),
+i.e. the aligned instance-triplet re-pools the positive slice's proposals
+from all three domains' features each step. The cheaper unaligned variant
+(~80 img/s) and the SHARE_POSITIVE_POOL fast path (~53 img/s) are reported
+in PERFORMANCE.md.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -42,7 +49,7 @@ def main():
 
     state, tx = create_train_state(cfg, model, jax.random.PRNGKey(0), sample,
                                    "cosine")
-    step = make_train_step(model, tx, aligned=False)
+    step = make_train_step(model, tx, aligned=True)
 
     # compile + warmup. NOTE: block_until_ready over the axon relay acks
     # early; a host fetch of a result scalar is the only honest barrier.
@@ -62,7 +69,7 @@ def main():
     images_per_sec = 3 * k / dt
     assert np.isfinite(final_loss)
     print(json.dumps({
-        "metric": "da_triplet_train_images_per_sec",
+        "metric": "da_triplet_aligned_train_images_per_sec",
         "value": round(images_per_sec, 3),
         "unit": "images/s/chip",
         "vs_baseline": round(images_per_sec / BASELINE_IMG_PER_SEC, 3),

@@ -251,6 +251,11 @@ class GeneralizedRCNN(nn.Module):
                     # set, same subsample distribution — only the RNG draw
                     # is shared with the DA-ins loss instead of independent,
                     # saving one full ROI-head pass per step
+                    # one extractor pass PER member, not one batched pass:
+                    # batching the members into a single [m*k, R] call was
+                    # measured slower twice (68.2 ms r1, 66.3 ms r2 vs 64.8
+                    # sequential — this chip prefers per-domain batch-1 conv
+                    # programs; PERFORMANCE.md "Aligned-triplet variant")
                     da_ins_set = []
                     for fd, tg, src, is_pos in (
                             (feats_s, targets_s, True, False),

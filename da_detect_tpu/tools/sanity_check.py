@@ -19,9 +19,13 @@ import tempfile
 import time
 
 
-def build_synthetic(root: str, n_images: int, seed: int):
+def build_synthetic(root: str, n_images: int, seed: int,
+                    fog=(0.55, 110.0)):
     """Noise images with solid rectangles at the GT boxes; foggy/rainy are
-    pixel-aligned degradations (see tests/data_factory for the test twin)."""
+    pixel-aligned degradations (see tests/data_factory for the test twin).
+    ``fog`` = (contrast, offset) of the target-domain degradation; the
+    ablation gate uses a much stronger fog so the domain shift measurably
+    hurts a source-only model."""
     import numpy as np
     try:
         import cv2
@@ -31,6 +35,7 @@ def build_synthetic(root: str, n_images: int, seed: int):
     rng = np.random.RandomState(seed)
     h, w = 120, 160
     dirs = {k: os.path.join(root, k) for k in ("clean", "foggy", "rainy")}
+    fog_a, fog_b = fog
     for d in dirs.values():
         os.makedirs(d, exist_ok=True)
     images, annotations = [], []
@@ -50,7 +55,8 @@ def build_synthetic(root: str, n_images: int, seed: int):
                 "segmentation": [[x1, y1, x1 + bw, y1, x1 + bw, y1 + bh,
                                   x1, y1 + bh]]})
             ann_id += 1
-        fog = (img.astype(np.float32) * 0.55 + 110).clip(0, 255).astype(np.uint8)
+        fog = (img.astype(np.float32) * fog_a + fog_b
+               + rng.randn(h, w, 3) * 8).clip(0, 255).astype(np.uint8)
         rain = img.copy()
         rain[:, ::7] = np.minimum(rain[:, ::7].astype(int) + 120, 255).astype(np.uint8)
         name = f"img_{i:04d}.png"
@@ -71,36 +77,13 @@ def build_synthetic(root: str, n_images: int, seed: int):
     return root
 
 
-def main(argv=None):
-    p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--iters", type=int, default=800)
-    p.add_argument("--images", type=int, default=16)
-    p.add_argument("--da", action="store_true",
-                   help="full triplet-DA path (default: source-only)")
-    p.add_argument("--min-ap50", type=float, default=0.5)
-    p.add_argument("--data-dir", default="")
-    args = p.parse_args(argv)
-
-    root = args.data_dir or tempfile.mkdtemp(prefix="dd_sanity_")
-    build_synthetic(root, args.images, seed=3)
-    os.environ["DA_DETECT_DATA_DIR"] = root
-
-    import jax
+def sanity_cfg(da: bool, iters: int):
     from ..config import get_cfg
-    from ..data import make_data_loader, make_data_loader_da
-    from ..engine.inference import inference
-    from ..engine.trainer import create_train_state, do_train
-    from ..models import build_detection_model
-    from ..utils.env import setup_environment
-    from ..utils.logging_utils import setup_logger
-
-    setup_environment()
-    logger = setup_logger("da_detect_tpu", None, jax.process_index())
 
     cfg = get_cfg()
     cfg.TPU.IMAGE_SHAPE = (128, 160)
     cfg.TPU.MAX_GT_BOXES = 10
-    cfg.MODEL.DOMAIN_ADAPTATION_ON = bool(args.da)
+    cfg.MODEL.DOMAIN_ADAPTATION_ON = bool(da)
     cfg.MODEL.BACKBONE.USE_GN = True
     cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT = 0
     cfg.INPUT.TO_BGR255 = False
@@ -121,41 +104,115 @@ def main(argv=None):
     cfg.DATASETS.SOURCE_TRAIN = ("sanity_clean_cocostyle",)
     cfg.DATASETS.TARGET_TRAIN = ("sanity_foggy_cocostyle",)
     cfg.DATASETS.TARGET_TRAIN_negative = ("sanity_rainy_cocostyle",)
-    cfg.DATASETS.TEST = (("sanity_foggy_cocostyle" if args.da
+    cfg.DATASETS.TEST = (("sanity_foggy_cocostyle" if da
                           else "sanity_clean_cocostyle"),)
-    cfg.SOLVER.IMS_PER_BATCH = 2 if args.da else 4
+    cfg.SOLVER.IMS_PER_BATCH = 2 if da else 4
     cfg.SOLVER.BASE_LR = 0.01
     cfg.SOLVER.WARMUP_ITERS = 100
     cfg.SOLVER.WARMUP_FACTOR = 0.1
     cfg.SOLVER.WARMUP_LR = 0.001
-    cfg.SOLVER.MAX_ITER = args.iters
+    cfg.SOLVER.MAX_ITER = iters
     cfg.TEST.IMS_PER_BATCH = 2
     cfg.TEST.DETECTIONS_PER_IMG = 10
+    return cfg
+
+
+def train_and_eval(cfg, da: bool, iters: int, logger, seed: int = 0,
+                   test_dataset: str | None = None):
+    """Train from scratch per ``cfg`` and return (AP50 on the test set,
+    final TrainState)."""
+    import jax
+    from ..data import make_data_loader, make_data_loader_da
+    from ..engine.inference import inference
+    from ..engine.trainer import create_train_state, do_train
+    from ..models import build_detection_model
 
     model = build_detection_model(cfg)
-    if args.da:
-        loader = make_data_loader_da(cfg, aligned=True, seed=0)
+    if da:
+        loader = make_data_loader_da(cfg, aligned=True, seed=seed)
     else:
-        loader, _ = make_data_loader(cfg, is_train=True, seed=0)
+        loader, _ = make_data_loader(cfg, is_train=True, seed=seed)
     it = iter(loader)
     sample = next(it)
-    state, tx = create_train_state(cfg, model, jax.random.PRNGKey(0), sample,
-                                   "cosine" if args.da else "multistep")
+    state, tx = create_train_state(cfg, model, jax.random.PRNGKey(seed),
+                                   sample, "cosine" if da else "multistep")
 
     def chained():
         yield sample
         yield from it
 
     t0 = time.perf_counter()
-    state = do_train(cfg, model, state, tx, chained(), max_iter=args.iters,
-                     log_period=max(args.iters // 4, 1))
-    logger.info("%d iters in %.0fs", args.iters, time.perf_counter() - t0)
+    state = do_train(cfg, model, state, tx, chained(), max_iter=iters,
+                     log_period=max(iters // 4, 1), aligned=da)
+    logger.info("%d iters in %.0fs", iters, time.perf_counter() - t0)
+    loader.close()
 
-    tl, ds = make_data_loader(cfg, is_train=False,
-                              dataset_names=cfg.DATASETS.TEST)
+    tl, ds = make_data_loader(
+        cfg, is_train=False,
+        dataset_names=(test_dataset,) if test_dataset else cfg.DATASETS.TEST)
     res, _ = inference(model, {"params": state.params, "frozen": state.frozen},
                        tl, ds)
-    ap50 = res["bbox"]["AP50"]
+    return res["bbox"]["AP50"], state
+
+
+def run_ablation(args, logger):
+    """The DA-direction gate: with a strong domain shift, triplet-DA training
+    must beat source-only training on the *target* domain (the synthetic
+    proxy of the reference's 23.41 -> 42.34 ladder, README.md:153-159), and
+    the adaptive image margin must have grown off its initial value."""
+    results = {}
+    for da in (False, True):
+        cfg = sanity_cfg(da, args.iters)
+        cfg.DATASETS.TEST = ("sanity_foggy_cocostyle",)
+        ap50, state = train_and_eval(cfg, da, args.iters, logger,
+                                     test_dataset="sanity_foggy_cocostyle")
+        results["da" if da else "source_only"] = round(ap50, 4)
+        if da:
+            margin = float(state.da_state.margin_img)
+            results["margin_img"] = round(margin, 4)
+            results["margin_grew"] = margin > cfg.MODEL.DA_HEADS.TRIPLET_MARGIN_IMG
+    gap = results["da"] - results["source_only"]
+    ok = gap >= args.min_gap and results["margin_grew"]
+    print(json.dumps(dict({"sanity_check": "PASS" if ok else "FAIL",
+                           "mode": "ablation",
+                           "gap": round(gap, 4),
+                           "min_gap": args.min_gap}, **results)))
+    if not ok:
+        raise SystemExit(1)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--iters", type=int, default=800)
+    p.add_argument("--images", type=int, default=16)
+    p.add_argument("--da", action="store_true",
+                   help="full triplet-DA path (default: source-only)")
+    p.add_argument("--ablation", action="store_true",
+                   help="DA-direction gate: train source-only AND triplet-DA "
+                        "under a strong domain shift; DA must win on the "
+                        "target domain and the adaptive margin must grow")
+    p.add_argument("--min-ap50", type=float, default=0.5)
+    p.add_argument("--min-gap", type=float, default=0.05)
+    p.add_argument("--data-dir", default="")
+    args = p.parse_args(argv)
+
+    root = args.data_dir or tempfile.mkdtemp(prefix="dd_sanity_")
+    build_synthetic(root, args.images, seed=3,
+                    fog=(0.25, 165.0) if args.ablation else (0.55, 110.0))
+    os.environ["DA_DETECT_DATA_DIR"] = root
+
+    import jax
+    from ..utils.env import setup_environment
+    from ..utils.logging_utils import setup_logger
+
+    setup_environment()
+    logger = setup_logger("da_detect_tpu", None, jax.process_index())
+
+    if args.ablation:
+        return run_ablation(args, logger)
+
+    cfg = sanity_cfg(args.da, args.iters)
+    ap50, _ = train_and_eval(cfg, args.da, args.iters, logger)
     verdict = "PASS" if ap50 >= args.min_ap50 else "FAIL"
     print(json.dumps({"sanity_check": verdict, "mode": "da" if args.da
                       else "source_only", "AP50": round(ap50, 4),
