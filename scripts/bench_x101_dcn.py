@@ -43,6 +43,9 @@ def main():
     cfg.TPU.IMAGE_SHAPE = (608, 1216)   # MIN/MAX_SIZE_TRAIN 600/1200, /32
     cfg.TPU.MAX_GT_BOXES = 64
     cfg.SOLVER.IMS_PER_BATCH = 2        # k=1 triple
+    # without remat the X-101 DCN triplet backward overflows 16G HBM by
+    # ~20 MB (measured); block-level backbone remat clears it
+    cfg.TPU.REMAT_BACKBONE = True
     model = build_detection_model(cfg)
     sample = []
     for d, src in ((0, True), (1, False), (2, False)):
