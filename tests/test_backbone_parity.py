@@ -142,3 +142,56 @@ def test_resnet_head_res5_parity(ref_resnet):
     got = head_j.apply(variables, jnp.asarray(pooled))
     got = np.asarray(got).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_resnet50_fpn_backbone_parity(ref_resnet):
+    """R-50-FPN: body + lateral/output convs + P6 maxpool against the
+    reference's own fpn.py composition (build_resnet_fpn_backbone there)."""
+    resnet, ref_cfg = ref_resnet
+    fpn_mod = _load("_bp_fpn", "modeling/backbone/fpn.py")
+    import collections
+    from torch import nn
+
+    cfg_t = ref_cfg.clone()
+    cfg_t.MODEL.BACKBONE.CONV_BODY = "R-50-FPN"
+    torch.manual_seed(4)
+    body_t = resnet.ResNet(cfg_t)
+
+    def conv_block(in_ch, out_ch, k, stride=1):
+        conv = nn.Conv2d(in_ch, out_ch, k, stride=stride, padding=k // 2)
+        nn.init.kaiming_uniform_(conv.weight, a=1)
+        nn.init.constant_(conv.bias, 0)
+        return conv
+
+    fpn_t = fpn_mod.FPN(in_channels_list=[256, 512, 1024, 2048],
+                        out_channels=256, conv_block=conv_block,
+                        top_blocks=fpn_mod.LastLevelMaxPool())
+    model_t = nn.Sequential(collections.OrderedDict(
+        [("body", body_t), ("fpn", fpn_t)]))
+    model_t.eval()
+
+    state_np = {f"backbone.{k}": v.numpy()
+                for k, v in model_t.state_dict().items()}
+    params, frozen = _to_flax(state_np)
+
+    from da_detect_tpu.config import get_cfg
+    from da_detect_tpu.models.backbone import build_backbone
+    cfg_j = get_cfg()
+    cfg_j.TPU.COMPUTE_DTYPE = "float32"
+    cfg_j.MODEL.BACKBONE.CONV_BODY = "R-50-FPN"
+    cfg_j.MODEL.BACKBONE.OUT_CHANNELS = 256
+    backbone, _ = build_backbone(cfg_j)
+
+    rng = np.random.RandomState(5)
+    x = rng.randn(1, 3, 64, 96).astype(np.float32)
+    with torch.no_grad():
+        want = model_t(torch.from_numpy(x))
+
+    x_nhwc = np.ascontiguousarray(x.transpose(0, 2, 3, 1))
+    got = backbone.apply({"params": params["backbone"],
+                          "frozen": frozen["backbone"]}, x_nhwc)
+    assert len(got) == len(want) == 5  # P2..P5 + P6 maxpool
+    for lvl, (g, w) in enumerate(zip(got, want)):
+        g = np.asarray(g).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(g, w.numpy(), rtol=1e-4, atol=1e-4,
+                                   err_msg=f"FPN level {lvl}")
