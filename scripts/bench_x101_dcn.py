@@ -44,8 +44,10 @@ def main():
     cfg.TPU.MAX_GT_BOXES = 64
     cfg.SOLVER.IMS_PER_BATCH = 2        # k=1 triple
     # without remat the X-101 DCN triplet backward overflows 16G HBM by
-    # ~20 MB (measured); block-level backbone remat clears it
+    # ~20 MB (measured); backbone remat alone compiles but the worker dies
+    # mid-run at 15.7/15.75G — remat both subsystems for headroom
     cfg.TPU.REMAT_BACKBONE = True
+    cfg.TPU.REMAT_ROI_HEAD = True
     model = build_detection_model(cfg)
     sample = []
     for d, src in ((0, True), (1, False), (2, False)):
