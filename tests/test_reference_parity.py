@@ -274,3 +274,40 @@ def test_warmup_multistep_lr(ref):
         np.testing.assert_allclose(got, want, rtol=1e-6,
                                    err_msg=f"lr diverges at iteration {it}")
         sched_t.step()
+
+
+# ----------------------------------------------------------- anchor grids
+
+def test_anchor_generator_exact(ref):
+    """Anchor enumeration vs the reference's AnchorGenerator (Detectron
+    legacy rounding; modeling/rpn/anchor_generator.py) — exact match for C4
+    and FPN layouts, which mAP parity depends on."""
+    bbox = _load("_refparity_bounding_box",
+                 "structures/bounding_box.py")
+    sys.modules["maskrcnn_benchmark.structures.bounding_box"] = bbox
+    # numpy API drift: the reference's generate_anchors uses the removed
+    # np.float alias (at call time too); restore it for this test's scope
+    np.float = float
+    anchor_gen = _load("_refparity_anchor_generator",
+                       "modeling/rpn/anchor_generator.py")
+    from da_detect_tpu.models.anchors import AnchorGenerator
+
+    cases = [
+        # (sizes, ratios, strides, feature shapes for a 320x480 canvas)
+        ((32, 64, 128, 256, 512), (0.5, 1.0, 2.0), (16,), [(20, 30)]),
+        ((32, 64, 128, 256, 512), (0.5, 1.0, 2.0), (4, 8, 16, 32, 64),
+         [(80, 120), (40, 60), (20, 30), (10, 15), (5, 8)]),
+    ]
+    for sizes, ratios, strides, shapes in cases:
+        ref_gen = anchor_gen.AnchorGenerator(
+            sizes=sizes, aspect_ratios=ratios, anchor_strides=strides)
+        grids_t = ref_gen.grid_anchors(shapes)
+
+        gen_j = AnchorGenerator(sizes, ratios, strides)
+        grids_j = gen_j.anchors_for_shapes(shapes)
+        assert len(grids_t) == len(grids_j)
+        for lvl, (a_t, a_j) in enumerate(zip(grids_t, grids_j)):
+            np.testing.assert_array_equal(
+                np.asarray(a_j, np.float32), a_t.numpy().astype(np.float32),
+                err_msg=f"anchor grid level {lvl} (strides={strides})")
+    del np.float
