@@ -16,4 +16,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402  (import after env is set)
 
+# The env vars above are read by jax at *import* time — but installed pytest
+# plugins (jaxtyping's, transitively hypothesis/typeguard) import jax BEFORE
+# any conftest runs, so under the canonical `pytest tests/` invocation from a
+# TPU-attached shell the ambient platform (axon TPU) won the default-backend
+# race and the whole suite silently ran on the chip (root cause of the
+# round-1 order-dependent test_batch_mesh_divisibility_guard failure).
+# config.update is effective until the first backend initialization, which
+# plugin import does not trigger — force it here as well.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
