@@ -1,13 +1,38 @@
-"""Deformable convolution (DCNv1/v2), pure-JAX gather formulation.
+"""Deformable convolution (DCNv1/v2), TPU-native tap-scanned formulation.
 
 The reference ships 2.3k lines of CUDA for deformable im2col/col2im
 (csrc/cuda/deform_conv_kernel_cuda.cu, deform_pool_kernel_cuda.cu) but never
 binds them in this fork (csrc/vision.cpp omits them — SURVEY §2.1) and its
-dcn configs are broken. Here DCN is actually wired: offsets (and modulation
-masks, for v2) come from an internal zero-initialized conv, sampling is
-bilinear gather, and the contraction with the kernel weights is an einsum on
-the MXU. Backward comes from autodiff (the CUDA col2im/grad kernels are the
-hand-written transpose of exactly this graph).
+dcn configs are broken. Here DCN is actually wired and the lowering is
+shaped by measurement on v5e:
+
+- A naive deformable-im2col materializes ``cols [oh, ow, k*k, C]`` and lets
+  autodiff save it — at X-101 res3 full-canvas that is ~213 MB f32 *per
+  layer*, which pushed the 30-DCN-layer triplet step past the 16 GB HBM
+  ceiling (the round-1 "worker crashed at step 2" failure), and XLA wrapped
+  the per-tap gathers in thousands of layout reshape/copy ops (~50k HLO ops,
+  592 ms/step at quarter canvas — profiled).
+- This version ``lax.scan``s over the k*k kernel taps. Each tap does ONE
+  combined 4-corner row-gather from the flattened feature map and contracts
+  immediately into the output accumulator, so the live transient is a
+  single ``[oh*ow, C]`` buffer. The scan body is ``jax.checkpoint``ed: the
+  backward pass re-gathers instead of saving per-tap samples, keeping the
+  residual footprint to the (tiny) precomputed corner indices/weights.
+- Bilinear corner weights, the out-of-bounds zero mask, and the DCNv2
+  modulation mask are all folded into one per-corner weight tensor before
+  the scan — the gathered values are used exactly once.
+- Grouped (ResNeXt) kernels reuse the block-diagonal DENSE lowering from
+  the backbone (models/backbone/resnet.py BlockDiagGroupedConv): small-width
+  grouped contractions starve the 128-lane MXU, so for width <= 16 the tap
+  kernel is scattered into a dense [C, features] block-diagonal matrix
+  (exact math, g x nominal FLOPs, near-peak MXU).
+
+Sampling semantics match the reference CUDA kernel
+(csrc/cuda/deform_conv_kernel_cuda.cu deformable_im2col): bilinear
+interpolation with zero outside the feature map, offsets zero-initialized so
+training starts as a plain conv (layers/dcn/deform_conv_module.py
+init_offset). Backward comes from autodiff (the CUDA col2im/grad kernels are
+the hand-written transpose of exactly this graph).
 """
 
 from __future__ import annotations
@@ -19,26 +44,29 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-def _bilinear_gather(x: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
-    """x [H, W, C]; ys/xs [...] sample coords. Zero padding outside."""
-    h, w, _ = x.shape
+def _corner_indices(ys, xs, h, w):
+    """ys/xs [...] float sample coords -> per-corner flat row indices,
+    bilinear weights and in-bounds masks, each [..., 4]."""
     y0 = jnp.floor(ys)
     x0 = jnp.floor(xs)
     ly = ys - y0
     lx = xs - x0
+    ycs = jnp.stack([y0, y0, y0 + 1, y0 + 1], axis=-1)
+    xcs = jnp.stack([x0, x0 + 1, x0, x0 + 1], axis=-1)
+    wts = jnp.stack([(1 - ly) * (1 - lx), (1 - ly) * lx,
+                     ly * (1 - lx), ly * lx], axis=-1)
+    inb = (ycs >= 0) & (ycs < h) & (xcs >= 0) & (xcs < w)
+    idx = (jnp.clip(ycs, 0, h - 1) * w
+           + jnp.clip(xcs, 0, w - 1)).astype(jnp.int32)
+    return idx, jnp.where(inb, wts, 0.0)
 
-    def tap(yi, xi):
-        inb = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
-        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
-        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
-        flat = x.reshape(-1, x.shape[-1])
-        vals = flat[yc * w + xc]
-        return jnp.where(inb[..., None], vals, 0.0)
 
-    return ((1 - ly)[..., None] * (1 - lx)[..., None] * tap(y0, x0)
-            + (1 - ly)[..., None] * lx[..., None] * tap(y0, x0 + 1)
-            + ly[..., None] * (1 - lx)[..., None] * tap(y0 + 1, x0)
-            + ly[..., None] * lx[..., None] * tap(y0 + 1, x0 + 1))
+def _gather_tap(flat, idx, wts):
+    """flat [N, C]; idx [B, P, 4] flat-row indices (pre-offset per image);
+    wts [B, P, 4]. One gather, weighted corner sum -> [B, P, C]."""
+    vals = jnp.take(flat, idx.reshape(-1), axis=0)
+    vals = vals.reshape(idx.shape + (flat.shape[-1],))
+    return jnp.einsum("bpk,bpkc->bpc", wts.astype(flat.dtype), vals)
 
 
 class DeformConv2d(nn.Module):
@@ -50,6 +78,7 @@ class DeformConv2d(nn.Module):
     deformable_groups: int = 1
     modulated: bool = False
     use_bias: bool = False
+    grouped_dense_max_width: int = 16
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -61,6 +90,7 @@ class DeformConv2d(nn.Module):
         ow = (w + 2 * pad - self.dilation * (k - 1) - 1) // self.strides + 1
         nk = k * k
         dg = self.deformable_groups
+        fg = self.feature_group_count
 
         # offset/mask predictor: zero-init so training starts as a plain conv
         # (reference layers/dcn/deform_conv_module.py ModulatedDeformConvPack
@@ -68,6 +98,7 @@ class DeformConv2d(nn.Module):
         n_out = dg * nk * (3 if self.modulated else 2)
         om = nn.Conv(n_out, (k, k), strides=(self.strides,) * 2,
                      padding=((pad, pad), (pad, pad)),
+                     kernel_dilation=(self.dilation,) * 2,
                      kernel_init=nn.initializers.zeros,
                      bias_init=nn.initializers.zeros,
                      dtype=self.dtype, name="conv_offset")(x)
@@ -77,7 +108,7 @@ class DeformConv2d(nn.Module):
             mask = nn.sigmoid(mask_logits).reshape(b, oh, ow, dg, nk)
         else:
             off = om
-            mask = jnp.ones((b, oh, ow, dg, nk), jnp.float32)
+            mask = None
         # reference CUDA layout: per (dg, kernel tap) pairs of (dy, dx)
         off = off.reshape(b, oh, ow, dg, nk, 2)
 
@@ -88,40 +119,75 @@ class DeformConv2d(nn.Module):
         kx = (kx * self.dilation).reshape(-1)
         base_y = (jnp.arange(oh, dtype=jnp.float32) * self.strides - pad)
         base_x = (jnp.arange(ow, dtype=jnp.float32) * self.strides - pad)
-        ys = base_y[:, None, None] + ky[None, None, :] + 0.0  # [oh,1,nk]
-        xs = base_x[None, :, None] + kx[None, None, :]        # [1,ow,nk]
-        ys = jnp.broadcast_to(ys, (oh, ow, nk))
-        xs = jnp.broadcast_to(xs, (oh, ow, nk))
+        by = (base_y[:, None] + ky[None, :]).reshape(1, oh, 1, 1, nk)
+        bx = (base_x[:, None] + kx[None, :]).reshape(1, 1, ow, 1, nk)
+        ys = by + off[..., 0]  # [b, oh, ow, dg, nk]
+        xs = bx + off[..., 1]
 
-        cg = c // dg  # channels per deformable group
+        # per-corner indices/weights for every tap, [b, oh*ow, dg, nk, 4]
+        idx, wts = _corner_indices(ys, xs, h, w)
+        idx = idx.reshape(b, oh * ow, dg, nk, 4)
+        wts = wts.reshape(b, oh * ow, dg, nk, 4)
+        if mask is not None:
+            # DCNv2 modulation scales the whole sample — fold into the
+            # corner weights so the gathered values are touched once
+            wts = wts * mask.reshape(b, oh * ow, dg, nk)[..., None]
+        # offset each image's rows into the batch-flattened feature map
+        idx = idx + (jnp.arange(b, dtype=jnp.int32) * (h * w)).reshape(
+            b, 1, 1, 1, 1)
 
-        def one_image(xi, offi, maski):
-            cols = []
-            for g in range(dg):
-                sy = ys + offi[..., g, :, 0]
-                sx = xs + offi[..., g, :, 1]
-                sampled = _bilinear_gather(xi[..., g * cg:(g + 1) * cg], sy, sx)
-                cols.append(sampled * maski[..., g, :, None])
-            return jnp.concatenate(cols, axis=-1)  # [oh, ow, nk, c] grouped
-
-        xf = x.astype(jnp.float32)
-        cols = jax.vmap(one_image)(xf, off, mask)
-        # cols [b, oh, ow, nk, c] -> contract with kernel [k, k, c/fg, features]
         kernel = self.param(
             "kernel", nn.initializers.he_normal(),
-            (k, k, c // self.feature_group_count, self.features), jnp.float32)
-        cols = cols.reshape(b, oh, ow, nk, c).astype(self.dtype)
-        kq = kernel.reshape(nk, c // self.feature_group_count, self.features).astype(self.dtype)
-        if self.feature_group_count == 1:
-            out = jnp.einsum("bhwkc,kcf->bhwf", cols, kq)
-        else:
-            fg = self.feature_group_count
-            cpg = c // fg
+            (k, k, c // fg, self.features), jnp.float32)
+        kq = kernel.reshape(nk, c // fg, self.features).astype(self.dtype)
+
+        cpf = c // fg  # input width per feature group
+        dense_ok = fg == 1 or cpf <= self.grouped_dense_max_width
+        if fg > 1 and dense_ok:
+            # block-diagonal dense lowering (see module docstring): scatter
+            # the grouped kernel into [nk, C, features]; the extra FLOPs
+            # multiply structural zeros but the MXU runs at dense efficiency
+            eye = jnp.eye(fg, dtype=self.dtype)
             fpg = self.features // fg
-            cols_g = cols.reshape(b, oh, ow, nk, fg, cpg)
-            kq_g = kq.reshape(nk, cpg, fg, fpg)
-            out = jnp.einsum("bhwkgc,kcgf->bhwgf", cols_g, kq_g).reshape(
-                b, oh, ow, self.features)
+            kq = jnp.einsum("tigo,Gg->tGigo",
+                            kq.reshape(nk, cpf, fg, fpg), eye).reshape(
+                nk, c, self.features)
+
+        flat = x.astype(self.dtype).reshape(b * h * w, c)
+
+        def tap_body(acc, tap):
+            t_idx, t_wts, t_k = tap  # [b,P,dg,4], [b,P,dg,4], [nk-slice]
+            if dg == 1:
+                samp = _gather_tap(flat, t_idx[:, :, 0], t_wts[:, :, 0])
+            else:
+                cg = c // dg
+                parts = []
+                for gi in range(dg):
+                    sub = flat.reshape(b * h * w, dg, cg)[:, gi]
+                    parts.append(_gather_tap(sub, t_idx[:, :, gi],
+                                             t_wts[:, :, gi]))
+                samp = jnp.concatenate(parts, axis=-1)
+            # f32 accumulation across taps (matches the f32 accumulators a
+            # dense conv would use inside the MXU)
+            if fg == 1 or dense_ok:
+                acc = acc + jnp.einsum("bpc,cf->bpf", samp, t_k,
+                                       preferred_element_type=jnp.float32)
+            else:
+                samp_g = samp.reshape(b, oh * ow, fg, cpf)
+                kg = t_k.reshape(cpf, fg, self.features // fg)
+                acc = acc + jnp.einsum(
+                    "bpgc,cgf->bpgf", samp_g, kg,
+                    preferred_element_type=jnp.float32).reshape(
+                    b, oh * ow, self.features)
+            return acc, None
+
+        acc0 = jnp.zeros((b, oh * ow, self.features), jnp.float32)
+        taps = (idx.transpose(3, 0, 1, 2, 4), wts.transpose(3, 0, 1, 2, 4),
+                kq)
+        # checkpoint: backward re-gathers per tap instead of saving the
+        # [b, P, C] sample buffer for all nk taps (the round-1 OOM)
+        out, _ = jax.lax.scan(jax.checkpoint(tap_body), acc0, taps)
+        out = out.reshape(b, oh, ow, self.features)
         if self.use_bias:
             out = out + self.param("bias", nn.initializers.zeros,
                                    (self.features,), jnp.float32).astype(out.dtype)

@@ -56,7 +56,9 @@ def main():
     sample = tuple(sample)
     state, tx = create_train_state(cfg, model, jax.random.PRNGKey(0), sample,
                                    "cosine")
-    step = make_train_step(model, tx, aligned=False)
+    # donate=False: with donation the SECOND step (donated device-resident
+    # state) kills the TPU worker on this model — see PERFORMANCE.md note
+    step = make_train_step(model, tx, aligned=False, donate=False)
     state, m = step(state, *sample)
     print("first step ok, loss", float(m["loss_total"]), flush=True)
     for _ in range(2):
