@@ -20,16 +20,35 @@ import numpy as np
 log = logging.getLogger(__name__)
 
 
+# Memoized jitted eval steps. A fresh ``jax.jit(lambda ...)`` per call
+# would defeat jit's own trace/executable cache: every compute_on_dataset
+# call (each TTA pass, each in-training eval) would re-trace and re-load
+# the executable — tens of seconds for the biggest programs even on a
+# persistent-compile-cache hit. Keyed by model identity; the value keeps a
+# strong ref to the model so an id() can't be recycled while cached.
+_EVAL_STEP_CACHE: dict = {}
+
+
+def _eval_step_for(model, with_masks: bool, with_keypoints: bool):
+    key = (id(model), with_masks, with_keypoints)
+    hit = _EVAL_STEP_CACHE.get(key)
+    if hit is not None and hit[0] is model:
+        return hit[1]
+    if with_masks:
+        fn = jax.jit(lambda v, b: model.apply(v, b, with_masks=True))
+    elif with_keypoints:
+        fn = jax.jit(lambda v, b: model.apply(v, b, with_keypoints=True))
+    else:
+        fn = jax.jit(lambda v, b: model.apply(v, b))
+    _EVAL_STEP_CACHE[key] = (model, fn)
+    return fn
+
+
 def compute_on_dataset(model, variables, data_loader, progress_every: int = 50,
                        with_masks: bool = False, with_keypoints: bool = False):
     """Returns {image_id: dict(boxes, scores, labels[, mask_probs]
     [, keypoints])} in *original* image coordinates (xyxy)."""
-    if with_masks:
-        eval_step = jax.jit(lambda v, b: model.apply(v, b, with_masks=True))
-    elif with_keypoints:
-        eval_step = jax.jit(lambda v, b: model.apply(v, b, with_keypoints=True))
-    else:
-        eval_step = jax.jit(lambda v, b: model.apply(v, b))
+    eval_step = _eval_step_for(model, with_masks, with_keypoints)
     predictions: dict[int, Any] = {}
     t0 = time.perf_counter()
     n_images = 0
