@@ -62,11 +62,17 @@ def _corner_indices(ys, xs, h, w):
 
 
 def _gather_tap(flat, idx, wts):
-    """flat [N, C]; idx [B, P, 4] flat-row indices (pre-offset per image);
-    wts [B, P, 4]. One gather, weighted corner sum -> [B, P, C]."""
-    vals = jnp.take(flat, idx.reshape(-1), axis=0)
-    vals = vals.reshape(idx.shape + (flat.shape[-1],))
-    return jnp.einsum("bpk,bpkc->bpc", wts.astype(flat.dtype), vals)
+    """flat [N, C]; idx [B, P, 4] flat-row indices (pre-offset per image,
+    pre-clipped in-bounds by _corner_indices); wts [B, P, 4]. Four corner
+    gathers, weighted sum -> [B, P, C]. Four separate takes measured 26%
+    faster fwd (7% fwd+bwd) than one combined [B*P*4] take on v5e, and
+    promise_in_bounds drops the OOB select (zeroing rides the weights)."""
+    acc = 0
+    for k in range(4):
+        vals = flat.at[idx[..., k].reshape(-1)].get(mode="promise_in_bounds")
+        vals = vals.reshape(idx.shape[:-1] + (flat.shape[-1],))
+        acc = acc + wts[..., k, None].astype(flat.dtype) * vals
+    return acc
 
 
 class DeformConv2d(nn.Module):

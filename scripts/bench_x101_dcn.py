@@ -43,10 +43,9 @@ def main():
     cfg.TPU.IMAGE_SHAPE = (608, 1216)   # MIN/MAX_SIZE_TRAIN 600/1200, /32
     cfg.TPU.MAX_GT_BOXES = 64
     cfg.SOLVER.IMS_PER_BATCH = 2        # k=1 triple
-    # without remat the X-101 DCN triplet backward overflows 16G HBM by
-    # ~20 MB (measured); backbone remat alone compiles but the worker dies
-    # mid-run at 15.7/15.75G — remat both subsystems for headroom
-    cfg.TPU.REMAT_BACKBONE = True
+    # the tap-scanned DCN (layers/deform_conv.py) already checkpoints its
+    # scan body, so the step fits WITHOUT remat (probed: no-remat 767 ms,
+    # roi-only 768, backbone 932); keep roi remat as free headroom
     cfg.TPU.REMAT_ROI_HEAD = True
     model = build_detection_model(cfg)
     sample = []
