@@ -75,6 +75,22 @@ def _gather_tap(flat, idx, wts):
     return acc
 
 
+def _bilinear_gather(x: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray):
+    """x [H, W, C]; ys/xs [...] float sample coords. Bilinear interpolation
+    with zero padding outside the map -> [..., C]. Used by the deformable
+    PS-ROI pooling (layers/deform_pool.py); the DeformConv2d hot path below
+    inlines the same corner math tap-by-tap instead."""
+    h, w, c = x.shape
+    idx, wts = _corner_indices(ys, xs, h, w)       # [..., 4]
+    flat = x.reshape(h * w, c)
+    acc = 0
+    for k in range(4):
+        vals = flat.at[idx[..., k].reshape(-1)].get(mode="promise_in_bounds")
+        vals = vals.reshape(idx.shape[:-1] + (c,))
+        acc = acc + wts[..., k, None].astype(x.dtype) * vals
+    return acc
+
+
 class DeformConv2d(nn.Module):
     features: int
     kernel_size: int = 3
