@@ -349,6 +349,11 @@ _C.TPU.REMAT_LEVEL = "block"
 # end-to-end on X-101-32x8d inference. Exact math, same param layout.
 # 0 disables (native grouped conv everywhere).
 _C.TPU.GROUPED_DENSE_MAX_WIDTH = 16
+# DCN bilinear corner gather lowering: "four" = four narrow per-corner row
+# takes (measured fastest round 2); "quad" = one wide take per tap from an
+# overlapped 4-corner table (fewer, 4x-wider rows — wins iff XLA's gather is
+# row-issue-bound). Exact same numerics; see scripts/bench_gather.py.
+_C.TPU.DCN_GATHER = "four"
 # Use jax.lax.approx_max_k (TPU-native, tiled) for huge flat pre-NMS top-ks:
 # RetinaNet per-level candidate selection (~12M scores at P3/800x1344 — the
 # exact sort is 31.8 of a 44.7 ms step) and RPN levels with > 16x more

@@ -61,6 +61,43 @@ def _corner_indices(ys, xs, h, w):
     return idx, jnp.where(inb, wts, 0.0)
 
 
+def _quad_slot_weights(ys, xs, h, w):
+    """Quad-table variant of :func:`_corner_indices`: one flat row index per
+    sample into the overlapped 4-corner table (``flat4[i] = [f[i], f[i+1],
+    f[i+w], f[i+w+1]]``) plus per-slot weights [..., 4].
+
+    The table base is the floor corner clamped to [0, h-2] x [0, w-2]; each
+    slot's weight is the bilinear weight of whichever true corner lands on
+    that slot's absolute coordinate (zero when clamping shifted the window or
+    the true corner is out of bounds) — numerically identical to the
+    per-corner form, including edge and fully-OOB samples."""
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    ly = ys - y0
+    lx = xs - x0
+    y0c = jnp.clip(y0, 0, h - 2)
+    x0c = jnp.clip(x0, 0, w - 2)
+    wy = [jnp.where(y0c + dy == y0, 1 - ly, 0.0)
+          + jnp.where(y0c + dy == y0 + 1, ly, 0.0) for dy in (0, 1)]
+    wx = [jnp.where(x0c + dx == x0, 1 - lx, 0.0)
+          + jnp.where(x0c + dx == x0 + 1, lx, 0.0) for dx in (0, 1)]
+    wts = jnp.stack([wy[0] * wx[0], wy[0] * wx[1],
+                     wy[1] * wx[0], wy[1] * wx[1]], axis=-1)
+    idx = (y0c * w + x0c).astype(jnp.int32)
+    return idx, wts
+
+
+def _gather_tap_quad(flat4, idx, wts):
+    """flat4 [N', 4C] overlapped-corner table; idx [B, P] table rows
+    (pre-offset per image); wts [B, P, 4] slot weights -> [B, P, C].
+    One wide take instead of four narrow ones — probes whether XLA's
+    row-gather is row-issue-bound (scripts/bench_gather.py)."""
+    c = flat4.shape[-1] // 4
+    r = flat4.at[idx.reshape(-1)].get(mode="promise_in_bounds")
+    r = r.reshape(idx.shape + (4, c))
+    return jnp.einsum("bpk,bpkc->bpc", wts.astype(flat4.dtype), r)
+
+
 def _gather_tap(flat, idx, wts):
     """flat [N, C]; idx [B, P, 4] flat-row indices (pre-offset per image,
     pre-clipped in-bounds by _corner_indices); wts [B, P, 4]. Four corner
@@ -101,6 +138,9 @@ class DeformConv2d(nn.Module):
     modulated: bool = False
     use_bias: bool = False
     grouped_dense_max_width: int = 16
+    # "four": four narrow per-corner takes; "quad": one wide take from an
+    # overlapped 4-corner table (TPU.DCN_GATHER; requires deformable_groups=1)
+    gather_mode: str = "four"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -146,17 +186,30 @@ class DeformConv2d(nn.Module):
         ys = by + off[..., 0]  # [b, oh, ow, dg, nk]
         xs = bx + off[..., 1]
 
-        # per-corner indices/weights for every tap, [b, oh*ow, dg, nk, 4]
-        idx, wts = _corner_indices(ys, xs, h, w)
-        idx = idx.reshape(b, oh * ow, dg, nk, 4)
+        quad = (self.gather_mode == "quad" and dg == 1
+                and h >= 2 and w >= 2)
+        if self.gather_mode not in ("four", "quad"):
+            raise ValueError(f"unknown gather_mode: {self.gather_mode}")
+        if quad:
+            # one row index per sample into the overlapped 4-corner table +
+            # 4 slot weights: idx [b, oh*ow, dg, nk], wts [..., 4]
+            idx, wts = _quad_slot_weights(ys, xs, h, w)
+            idx = idx.reshape(b, oh * ow, dg, nk)
+        else:
+            # per-corner indices/weights for every tap, [b, oh*ow, dg, nk, 4]
+            idx, wts = _corner_indices(ys, xs, h, w)
+            idx = idx.reshape(b, oh * ow, dg, nk, 4)
         wts = wts.reshape(b, oh * ow, dg, nk, 4)
         if mask is not None:
             # DCNv2 modulation scales the whole sample — fold into the
             # corner weights so the gathered values are touched once
             wts = wts * mask.reshape(b, oh * ow, dg, nk)[..., None]
         # offset each image's rows into the batch-flattened feature map
+        # (quad-table rows use the same [b*h*w] stride: row r of image i's
+        # table is table[i*h*w + r] — the overlapped rows never cross an
+        # image boundary because y0c <= h-2 and x0c <= w-2)
         idx = idx + (jnp.arange(b, dtype=jnp.int32) * (h * w)).reshape(
-            b, 1, 1, 1, 1)
+            (b,) + (1,) * (idx.ndim - 1))
 
         kernel = self.param(
             "kernel", nn.initializers.he_normal(),
@@ -176,10 +229,19 @@ class DeformConv2d(nn.Module):
                 nk, c, self.features)
 
         flat = x.astype(self.dtype).reshape(b * h * w, c)
+        if quad:
+            # overlapped-corner table: flat4[i] = [f[i], f[i+1], f[i+w],
+            # f[i+w+1]] — two streamed concats (6x fmap bytes at HBM peak),
+            # amortized over the nk taps' gathers
+            flat2 = jnp.concatenate([flat[:-1], flat[1:]], axis=-1)
+            flat4 = jnp.concatenate([flat2[:-w], flat2[w:]], axis=-1)
 
         def tap_body(acc, tap):
-            t_idx, t_wts, t_k = tap  # [b,P,dg,4], [b,P,dg,4], [nk-slice]
-            if dg == 1:
+            t_idx, t_wts, t_k = tap  # [b,P,dg(,4)], [b,P,dg,4], [nk-slice]
+            if quad:
+                samp = _gather_tap_quad(flat4, t_idx[:, :, 0],
+                                        t_wts[:, :, 0])
+            elif dg == 1:
                 samp = _gather_tap(flat, t_idx[:, :, 0], t_wts[:, :, 0])
             else:
                 cg = c // dg
@@ -204,8 +266,9 @@ class DeformConv2d(nn.Module):
             return acc, None
 
         acc0 = jnp.zeros((b, oh * ow, self.features), jnp.float32)
-        taps = (idx.transpose(3, 0, 1, 2, 4), wts.transpose(3, 0, 1, 2, 4),
-                kq)
+        idx_t = (idx.transpose(3, 0, 1, 2) if quad
+                 else idx.transpose(3, 0, 1, 2, 4))
+        taps = (idx_t, wts.transpose(3, 0, 1, 2, 4), kq)
         # checkpoint: backward re-gathers per tap instead of saving the
         # [b, P, C] sample buffer for all nk taps (the round-1 OOM)
         out, _ = jax.lax.scan(jax.checkpoint(tap_body), acc0, taps)

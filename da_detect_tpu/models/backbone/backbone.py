@@ -50,6 +50,7 @@ class ResNetBackbone(nn.Module):
     remat: bool = False
     remat_level: str = "block"
     grouped_dense_max_width: int = 16
+    dcn_gather: str = "four"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -66,6 +67,7 @@ class ResNetBackbone(nn.Module):
             deformable_groups=self.deformable_groups, remat=self.remat,
             remat_level=self.remat_level,
             grouped_dense_max_width=self.grouped_dense_max_width,
+            dcn_gather=self.dcn_gather,
             dtype=self.dtype, name="body")(x)
         if self.with_fpn:
             if self.fpn_top_block == "p6p7":
@@ -121,6 +123,7 @@ def build_backbone(cfg) -> tuple[nn.Module, BackboneSpec]:
         remat=cfg.TPU.REMAT_BACKBONE,
         remat_level=cfg.TPU.REMAT_LEVEL,
         grouped_dense_max_width=cfg.TPU.GROUPED_DENSE_MAX_WIDTH,
+        dcn_gather=cfg.TPU.DCN_GATHER,
         dtype=dtype,
     )
     if with_fpn:

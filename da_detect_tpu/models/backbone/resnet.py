@@ -85,6 +85,7 @@ class Bottleneck(nn.Module):
     with_modulated_dcn: bool = False
     deformable_groups: int = 1
     grouped_dense_max_width: int = 16
+    dcn_gather: str = "four"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -109,6 +110,8 @@ class Bottleneck(nn.Module):
                                feature_group_count=self.num_groups,
                                deformable_groups=self.deformable_groups,
                                modulated=self.with_modulated_dcn,
+                               grouped_dense_max_width=self.grouped_dense_max_width,
+                               gather_mode=self.dcn_gather,
                                dtype=self.dtype, name="conv2")(out)
         elif (self.num_groups > 1 and self.bottleneck_channels
                 // self.num_groups <= self.grouped_dense_max_width):
@@ -204,6 +207,7 @@ class ResStage(nn.Module):
     deformable_groups: int = 1
     remat: bool = False
     grouped_dense_max_width: int = 16
+    dcn_gather: str = "four"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -226,6 +230,7 @@ class ResStage(nn.Module):
                 with_modulated_dcn=self.with_modulated_dcn,
                 deformable_groups=self.deformable_groups,
                 grouped_dense_max_width=self.grouped_dense_max_width,
+                dcn_gather=self.dcn_gather,
                 dtype=self.dtype,
                 name=f"block{i}",
             )(x)
@@ -264,6 +269,7 @@ class ResNet(nn.Module):
     remat: bool = False
     remat_level: str = "block"  # "block": per-bottleneck; "stage": whole stage
     grouped_dense_max_width: int = 16
+    dcn_gather: str = "four"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -299,6 +305,7 @@ class ResNet(nn.Module):
                 deformable_groups=self.deformable_groups,
                 remat=self.remat and not stage_remat,
                 grouped_dense_max_width=self.grouped_dense_max_width,
+                dcn_gather=self.dcn_gather,
                 dtype=self.dtype,
                 name=f"layer{idx + 1}",
             )(x)

@@ -72,6 +72,51 @@ def make_gather(s, c, p, pb, mode):
     return run
 
 
+def make_dma_gather(s, c, p, pb, dtype):
+    """Hand-rolled gather engine: table stays in HBM, the kernel issues one
+    async row-DMA per output row (start-all / wait-all per [pb, c] block).
+    Probes whether explicit DMA issue beats XLA's gather lowering — if row
+    issue overhead (~46k rows at res3) dominates, it won't."""
+
+    def kernel(idx_ref, tbl_ref, out_ref, sem):
+        blk = pl.program_id(0)
+
+        def issue(i, _):
+            r = idx_ref[blk * pb + i]
+            pltpu.make_async_copy(tbl_ref.at[pl.ds(r, 1), :],
+                                  out_ref.at[pl.ds(i, 1), :], sem).start()
+            return 0
+
+        jax.lax.fori_loop(0, pb, issue, 0)
+
+        def drain(i, _):
+            # same-size copies: each wait consumes one row's completion
+            pltpu.make_async_copy(tbl_ref.at[pl.ds(0, 1), :],
+                                  out_ref.at[pl.ds(0, 1), :], sem).wait()
+            return 0
+
+        jax.lax.fori_loop(0, pb, drain, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(p // pb,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((pb, c), lambda i, *_: (i, 0)),
+        scratch_shapes=[pltpu.SemaphoreType.DMA(())],
+    )
+
+    @jax.jit
+    def run(idx, tbl):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((p, c), dtype),
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(idx, tbl)
+
+    return run
+
+
 def main():
     h, w, c = 76, 152, 512
     s = h * w
@@ -91,6 +136,18 @@ def main():
     ref = np.asarray(xla_take(idx, tbl))
     dt = _timeit(xla_take, idx, tbl)
     print(f"xla take        {dt*1e3:7.2f} ms  {bytes_moved/dt/1e9:7.1f} GB/s")
+
+    for pb in (256, 1024):
+        try:
+            fn = make_dma_gather(s, c, p, pb, dtype)
+            got = np.asarray(fn(idx, tbl))
+            ok = np.array_equal(got, ref)
+            dt = _timeit(fn, idx, tbl)
+            print(f"pallas dma-rows     pb={pb:5d} {dt*1e3:7.2f} ms "
+                  f"{bytes_moved/dt/1e9:7.1f} GB/s  match={ok}")
+        except Exception as e:  # noqa: BLE001 — probing compiler support
+            msg = str(e).splitlines()[0][:110]
+            print(f"pallas dma-rows     pb={pb:5d} FAILED: {msg}")
 
     for mode in ("take", "index", "loop"):
         for pb in (512, 2048):

@@ -23,6 +23,15 @@ CASES = [
      (800, 1344), 2, 5.66),
     ("mask_rcnn_R50_FPN", "configs/e2e_mask_rcnn_R_50_FPN_1x.yaml",
      (800, 1344), 2, 4.41),
+    # 0.4591 s/iter at 2 im/GPU (MODEL_ZOO.md:23)
+    ("faster_rcnn_R101_FPN", "configs/e2e_faster_rcnn_R_101_FPN_1x.yaml",
+     (800, 1344), 2, 4.36),
+    # 0.7007 s/iter at 2 im/GPU (MODEL_ZOO.md:24)
+    ("faster_rcnn_X101_FPN", "configs/e2e_faster_rcnn_X_101_32x8d_FPN_1x.yaml",
+     (800, 1344), 2, 2.85),
+    # 0.3771 s/iter at 2 im/GPU (MODEL_ZOO.md:34)
+    ("keypoint_rcnn_R50_FPN", "configs/e2e_keypoint_rcnn_R_50_FPN_1x.yaml",
+     (800, 1344), 2, 5.30),
 ]
 
 
@@ -55,6 +64,14 @@ def main():
             targets = targets.replace(masks=jnp.asarray(
                 (np.random.RandomState(0).rand(*gshape, m, m) > 0.5)
                 .astype(np.float32)))
+        if cfg.MODEL.KEYPOINT_ON:
+            import jax.numpy as jnp
+            # 17 COCO keypoints at each GT box center, all visible
+            ctr = (targets.boxes[..., :2] + targets.boxes[..., 2:]) / 2
+            kps = jnp.concatenate(
+                [jnp.tile(ctr[:, :, None, :], (1, 1, 17, 1)),
+                 jnp.ones(targets.boxes.shape[:2] + (17, 1))], axis=-1)
+            targets = targets.replace(keypoints=kps)
         sample = (batch, targets)
         state, tx = create_train_state(cfg, model, jax.random.PRNGKey(0),
                                        sample, "multistep")

@@ -27,6 +27,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--tta-images", type=int, default=4)
+    ap.add_argument("--gather", default="four", choices=("four", "quad"),
+                    help="TPU.DCN_GATHER lowering to benchmark")
+    ap.add_argument("--train-only", action="store_true")
     args = ap.parse_args()
 
     from da_detect_tpu.utils.env import setup_environment
@@ -47,6 +50,7 @@ def main():
     # scan body, so the step fits WITHOUT remat (probed: no-remat 767 ms,
     # roi-only 768, backbone 932); keep roi remat as free headroom
     cfg.TPU.REMAT_ROI_HEAD = True
+    cfg.TPU.DCN_GATHER = args.gather
     model = build_detection_model(cfg)
     sample = []
     for d, src in ((0, True), (1, False), (2, False)):
@@ -68,8 +72,10 @@ def main():
         state, m = step(state, *sample)
     float(m["loss_total"])
     dt = (time.perf_counter() - t0) / args.iters
-    print(f"x101_dcn_da train: {dt * 1e3:.1f} ms/step, {3 / dt:.2f} img/s",
-          flush=True)
+    print(f"x101_dcn_da train (gather={args.gather}): {dt * 1e3:.1f} ms/step,"
+          f" {3 / dt:.2f} img/s", flush=True)
+    if args.train_only:
+        return
 
     # ---- TTA eval (3 scales x flip + base x flip = 8 passes/img) ----
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

@@ -134,6 +134,42 @@ def test_grouped_dense_lowering_matches_grouped_einsum():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("modulated", [False, True])
+def test_quad_table_gather_matches_four_takes(modulated):
+    """TPU.DCN_GATHER="quad" (one wide take from the overlapped 4-corner
+    table) must be numerically identical to the per-corner form, including
+    edge-clamped and fully out-of-bounds samples (offset scale 6 on a 7x6
+    map throws many samples off the map), in both values and gradients."""
+    key = jax.random.PRNGKey(11)
+    b, h, w, c, f = 2, 7, 6, 4, 5
+    x = jax.random.normal(key, (b, h, w, c))
+    kwargs = dict(features=f, kernel_size=3, modulated=modulated)
+    m_four = DeformConv2d(gather_mode="four", **kwargs)
+    m_quad = DeformConv2d(gather_mode="quad", **kwargs)
+    params = m_four.init(jax.random.PRNGKey(12), x)
+    params = _random_offset_params(params, jax.random.PRNGKey(13), scale=6.0)
+
+    out_four = np.asarray(m_four.apply(params, x))
+    out_quad = np.asarray(m_quad.apply(params, x))
+    np.testing.assert_allclose(out_quad, out_four, rtol=1e-5, atol=1e-5)
+
+    def loss_fn(mod):
+        return jax.grad(lambda p, xi: jnp.sum(mod.apply(p, xi) ** 2),
+                        argnums=(0, 1))
+
+    gp4, gx4 = loss_fn(m_four)(params, x)
+    gpq, gxq = loss_fn(m_quad)(params, x)
+    np.testing.assert_allclose(np.asarray(gxq), np.asarray(gx4),
+                               rtol=1e-4, atol=1e-5)
+    for (p4, l4), (pq, lq) in zip(
+            jax.tree_util.tree_leaves_with_path(gp4),
+            jax.tree_util.tree_leaves_with_path(gpq)):
+        assert p4 == pq
+        np.testing.assert_allclose(
+            np.asarray(lq), np.asarray(l4), rtol=1e-4, atol=1e-5,
+            err_msg=f"grad {jax.tree_util.keystr(p4)} diverges")
+
+
 def test_gradients_flow_and_are_finite():
     """Checkpointed scan must still produce grads for kernel, offsets and
     input; offsets get nonzero grads once the predictor is non-degenerate."""
