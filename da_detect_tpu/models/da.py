@@ -44,13 +44,14 @@ _normal005 = nn.initializers.normal(0.05)
 
 # BCE([0.7, 0.3], [1, 0]) — the AdvGRL activation threshold constant
 # (da_heads.py:175)
-ADVGRL_BCE_THRESHOLD = 0.62879246
+ADVGRL_BCE_THRESHOLD = 0.62877065
 # Adv_GRL_Optimized band constants (da_heads.py:197-234):
-# bce_min = BCE([0.6,0.4],[1,0]) = 0.675252, bce_max = BCE([0.55,0.45],[1,0])
-# = 0.704822 (the reference's inline comments mislabel these; the values
-# below are what its torch expressions actually evaluate to)
-ADVGRL_BCE_MIN = 0.67525226
-ADVGRL_BCE_MAX = 0.70482223
+# bce_min = BCE([0.6,0.4],[1,0]) = 0.6752516, bce_max = BCE([0.55,0.45],[1,0])
+# = 0.6993707 (the reference's inline comments mislabel these; the values
+# below are what its torch expressions actually evaluate to —
+# pinned against torch in tests/test_da_reference_parity.py)
+ADVGRL_BCE_MIN = 0.6752516
+ADVGRL_BCE_MAX = 0.69937071
 
 
 @struct.dataclass
