@@ -275,6 +275,13 @@ class DomainAdaptationModule(nn.Module):
 
 
 def make_da_heads(cfg, dtype):
+    """One triplet-capable module covers both reference variants: the
+    non-triplet DomainAdaptationModule (da_heads.py:354-445) is this module
+    with the triplet weights at 0. Corner: that reference module also
+    ignores DA_ADV_GRL entirely (always plain GRL); here the flag is honored
+    in every mode. The shipped classic config pairs TRIPLET_USE: False with
+    DA_ADV_GRL: False (e2e_da_faster_rcnn_R_50_C4_*.yaml:19-21), so zoo
+    behavior is identical — the flag simply isn't silently dead here."""
     da = cfg.MODEL.DA_HEADS
     is_resnet = not cfg.MODEL.BACKBONE.CONV_BODY.startswith("V")
     c4 = cfg.MODEL.ROI_BOX_HEAD.FEATURE_EXTRACTOR == "ResNet50Conv5ROIFeatureExtractor"
