@@ -76,3 +76,40 @@ def test_sharded_step_matches_single_device():
             np.asarray(leaf8), np.asarray(flat1[path]), rtol=1e-4, atol=1e-6,
             err_msg=f"updated param {jax.tree_util.keystr(path)} diverges "
                     "between 8-device and 1-device training")
+
+
+def test_sharded_eval_matches_single_device():
+    """Device-sharded evaluation (the loader device_puts eval batches with
+    the data sharding — data/build.py, tools/train_core.py run_eval) must
+    produce the same detections as a single-device run: the TPU-native
+    counterpart of the reference's per-GPU eval sharding + gather
+    (engine/inference.py:54-73 there). Eval is embarrassingly parallel over
+    images, so only compiler float reassociation may differ."""
+    from da_detect_tpu.engine.inference import _eval_step_for
+
+    n = len(jax.devices())
+    assert n == 8, "conftest should provide 8 virtual CPU devices"
+    cfg = _tiny_cfg(n)
+    cfg.MODEL.DOMAIN_ADAPTATION_ON = False  # plain detector eval
+    model = build_detection_model(cfg)
+
+    batch, targets = entry._batch(cfg, n, seed=3)
+    state, _ = create_train_state(cfg, model, jax.random.PRNGKey(0),
+                                  (batch, targets), "cosine")
+    variables = {"params": state.params, "frozen": state.frozen}
+    eval_step = _eval_step_for(model, False, False)
+
+    outs = {}
+    for label, mesh in (("n8", make_mesh(8)), ("n1", make_mesh(1))):
+        sharding = data_sharding(mesh)
+        b = jax.device_put(batch, sharding)
+        v = replicate(variables, mesh)
+        outs[label] = jax.device_get(eval_step(v, b))
+
+    d8, d1 = outs["n8"], outs["n1"]
+    np.testing.assert_array_equal(d8.valid, d1.valid)
+    np.testing.assert_array_equal(d8.labels, d1.labels)
+    np.testing.assert_allclose(d8.scores, d1.scores, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.where(d8.valid[..., None], d8.boxes, 0),
+                               np.where(d1.valid[..., None], d1.boxes, 0),
+                               rtol=1e-4, atol=1e-4)
