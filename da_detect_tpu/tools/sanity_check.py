@@ -171,6 +171,14 @@ def run_ablation(args, logger):
         cfg.DATASETS.TEST = ("sanity_foggy_cocostyle",)
         # headroom so growth CAN trigger (int(margin) != int(max_margin))
         cfg.MODEL.DA_HEADS.TRIPLET_MAX_MARGIN = 3.0
+        # CPU-affordable arms: the gate runs inside the CPU test suite
+        # (tests/test_end_to_end.py), where the default C4 head is ~1.1
+        # TFLOP/step (res5 over 256 14x14 ROIs = 98% of it, measured via
+        # cost_analysis) — ~20 s/step on one core. Pooling at 7 and 16
+        # ROIs/img cuts the step ~16x; the DA-direction signal is about the
+        # adversarial heads, not ROI capacity, and survives intact.
+        cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 7
+        cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 16
         ap50, state = train_and_eval(cfg, da, args.iters, logger,
                                      test_dataset="sanity_foggy_cocostyle")
         results["da" if da else "source_only"] = round(ap50, 4)
