@@ -117,6 +117,12 @@ def do_train(cfg, model, state, tx, data_iter, *, max_iter: int,
     log.info("start training at iteration %d", start_iter)
     start = time.perf_counter()
     last = start
+    # steps dispatch asynchronously: the host only blocks at the logged
+    # iterations' device_get, which drains the whole queued window. A
+    # per-logged-iteration wall clock would therefore report the drain
+    # (window backlog), not the step cost — average over the window instead.
+    window_start = start
+    window_iters = 0
     for iteration in range(start_iter, max_iter):
         if profile_dir is not None and iteration == profile_range[0]:
             jax.profiler.start_trace(profile_dir)
@@ -127,6 +133,7 @@ def do_train(cfg, model, state, tx, data_iter, *, max_iter: int,
         batch_args = next(data_iter)
         data_time = time.perf_counter() - last
         state, metrics = train_step(state, *batch_args)
+        window_iters += 1
         if (iteration % log_period == 0) or iteration == max_iter - 1:
             metrics = jax.device_get(metrics)
             total = float(metrics["loss_total"])
@@ -135,7 +142,9 @@ def do_train(cfg, model, state, tx, data_iter, *, max_iter: int,
                 log.error("loss diverged to %s at iteration %d — aborting",
                           total, iteration)
                 raise FloatingPointError(f"non-finite loss at {iteration}")
-            batch_time = time.perf_counter() - last
+            now = time.perf_counter()
+            batch_time = (now - window_start) / window_iters
+            window_start, window_iters = now, 0
             meters.update(time=batch_time, data=data_time,
                           **{k: float(v) for k, v in metrics.items()})
             eta = eta_string(meters.meters["time"].global_avg,
