@@ -26,3 +26,11 @@ import jax  # noqa: E402  (import after env is set)
 # plugin import does not trigger — force it here as well.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# The suite is compile-dominated on CPU (the e2e tests compile full train
+# steps); the persistent cache makes re-runs ~2-3x faster. Safe across code
+# changes (keyed by HLO hash) and across VM migrations (setup_environment
+# scopes the cpu cache dir by a host-ISA fingerprint).
+from da_detect_tpu.utils.env import setup_environment  # noqa: E402
+
+setup_environment()
