@@ -317,6 +317,13 @@ _C.TPU.COMPUTE_DTYPE = "bfloat16"
 # Mesh axis sizes: (data,). Data-parallel over triples is the reference
 # strategy (SURVEY §2.9); model axes reserved for future TP of the backbone.
 _C.TPU.MESH_DATA = -1  # -1: use all devices
+# Spatial partitioning: fold the devices into a (data, space) mesh and split
+# every image canvas's H axis over the `space` axis — GSPMD spatially
+# partitions the backbone convs (halo exchanges inserted by XLA). Scales
+# training/eval when the per-device batch cannot go below one image
+# (parallel/mesh.py; tests/test_spatial_partition.py proves 1-device
+# equivalence). 1 = off (pure data-parallel, the reference-equivalent mode).
+_C.TPU.MESH_SPATIAL = 1
 # Use the Pallas kernels where available (else pure-XLA formulations).
 _C.TPU.USE_PALLAS = True
 # Run the stem's 7x7/s2 conv in space-to-depth form (exact algebra; MXU

@@ -24,6 +24,7 @@ import jax
 import numpy as np
 
 from ..config.catalog import DatasetCatalog
+from ..parallel import put_batch
 from ..structures.image_batch import ImageBatch, Targets
 from . import datasets as D
 from .transforms import (apply_geometry, canvas_for, compute_resize_hw,
@@ -323,9 +324,8 @@ def make_data_loader(cfg, *, is_train: bool, dataset_names=None,
             processed.append(processed[-1])
             ids.append(None)
         batch, targets = _stack(processed, with_masks, with_keypoints)
-        if sharding is not None:
-            batch = jax.device_put(batch, sharding)
-            targets = jax.device_put(targets, sharding)
+        batch = put_batch(batch, sharding)
+        targets = put_batch(targets, sharding)
         if is_train:
             yield batch, targets
         else:
@@ -388,9 +388,8 @@ def make_data_loader_da(cfg, *, aligned: bool = True, seed: int = 0,
                     if items[0] is None:
                         continue
                     b, tg = _stack(items, False)
-                    if sharding is not None:
-                        b = jax.device_put(b, sharding)
-                        tg = jax.device_put(tg, sharding)
+                    b = put_batch(b, sharding)
+                    tg = put_batch(tg, sharding)
                     out += [b, tg]
                 yield tuple(out)
             epoch += 1

@@ -1,3 +1,7 @@
-from .mesh import make_mesh, shard_batch, replicate, data_sharding
+from .mesh import (BatchSharding, batch_sharding, check_divisible,
+                   data_axis_size, data_sharding, make_mesh, put_batch,
+                   replicate, shard_batch)
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "data_sharding"]
+__all__ = ["BatchSharding", "batch_sharding", "check_divisible",
+           "data_axis_size", "data_sharding", "make_mesh", "put_batch",
+           "replicate", "shard_batch"]

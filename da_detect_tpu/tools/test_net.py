@@ -6,7 +6,7 @@ import jax
 
 from ..engine.trainer import create_train_state
 from ..models import build_detection_model
-from ..parallel import data_sharding, make_mesh, replicate
+from ..parallel import batch_sharding, make_mesh, replicate
 from ..utils.checkpoint import Checkpointer
 from .common import base_parser, setup
 from .train_core import run_eval
@@ -18,7 +18,7 @@ def main(argv=None):
     args = p.parse_args(argv)
     cfg, logger = setup(args, "da_detect_tpu.test")
 
-    mesh = make_mesh(cfg.TPU.MESH_DATA)
+    mesh = make_mesh(cfg.TPU.MESH_DATA, spatial=cfg.TPU.MESH_SPATIAL)
     model = build_detection_model(cfg)
 
     # init variables from a dummy eval batch shape via the test loader
@@ -47,7 +47,7 @@ def main(argv=None):
         params = variables["params"]
         frozen = variables.get("frozen", {})
 
-    run_eval(cfg, logger, model, _S, data_sharding(mesh))
+    run_eval(cfg, logger, model, _S, batch_sharding(mesh))
 
 
 if __name__ == "__main__":

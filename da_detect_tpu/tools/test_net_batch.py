@@ -6,7 +6,7 @@ from __future__ import annotations
 import jax
 
 from ..models import build_detection_model
-from ..parallel import data_sharding, make_mesh
+from ..parallel import batch_sharding, make_mesh
 from ..utils.checkpoint import Checkpointer
 from .common import base_parser, setup
 from .train_core import run_eval
@@ -18,7 +18,7 @@ def main(argv=None):
     args = p.parse_args(argv)
     cfg, logger = setup(args, "da_detect_tpu.test_batch")
 
-    mesh = make_mesh(cfg.TPU.MESH_DATA)
+    mesh = make_mesh(cfg.TPU.MESH_DATA, spatial=cfg.TPU.MESH_SPATIAL)
     model = build_detection_model(cfg)
     from ..data import make_data_loader
     loader, _ = make_data_loader(cfg, is_train=False,
@@ -40,7 +40,7 @@ def main(argv=None):
             frozen = variables["frozen"]
 
         logger.info("===== evaluating checkpoint %d =====", step)
-        run_eval(cfg, logger, model, _S, data_sharding(mesh))
+        run_eval(cfg, logger, model, _S, batch_sharding(mesh))
 
 
 if __name__ == "__main__":
