@@ -17,6 +17,14 @@ The overlapped tables cost one streamed materialization each (HBM-peak
 copy, amortized over 9 taps x 4 corners of gathers) and 2x/4x fmap HBM --
 trivial next to the activation budget.
 
+OUTCOME (measured 2026-08-18, post libtpu upgrade): forward-only the three
+modes are within 10% (base 2.97 ms / pair 3.41 / quad 3.10, ~125-143 GB/s
+-- the runtime upgrade lifted row-gather well above the 35-55 GB/s that
+motivated this experiment), but fwd+bwd base wins big (14.9 vs 19.4/20.4
+ms): the overlapped tables' backward scatters into the 2x/4x-wide table
+and then reduces it. End-to-end X-101+DCN train step: four 767.8 ms vs
+quad 1302.5 ms. `TPU.DCN_GATHER` stays "four".
+
 Run:  python scripts/bench_gather.py            (attached TPU)
 """
 
