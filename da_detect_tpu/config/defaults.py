@@ -324,6 +324,12 @@ _C.TPU.MESH_DATA = -1  # -1: use all devices
 # (parallel/mesh.py; tests/test_spatial_partition.py proves 1-device
 # equivalence). 1 = off (pure data-parallel, the reference-equivalent mode).
 _C.TPU.MESH_SPATIAL = 1
+# Tensor-parallel mesh axis: shard every wide trailing channel axis of the
+# parameters/optimizer state over `model` devices (Megatron-style column
+# split, collectives derived by GSPMD — parallel/mesh.py::shard_model).
+# Use when one chip cannot hold model+optimizer at the target canvas.
+# 1 = off. Loss-equivalence with pure dp: tests/test_tensor_parallel.py.
+_C.TPU.MESH_MODEL = 1
 # Use the Pallas kernels where available (else pure-XLA formulations).
 _C.TPU.USE_PALLAS = True
 # Run the stem's 7x7/s2 conv in space-to-depth form (exact algebra; MXU

@@ -24,6 +24,20 @@ changes. Equivalence with the 1-device step is proven in
 tests/test_spatial_partition.py. The reference has no counterpart (DDP
 cannot split a convolution).
 
+**Tensor parallelism** (``TPU.MESH_MODEL`` > 1) adds a ``model`` mesh axis
+and shards every *wide trailing channel axis* of the parameter/optimizer
+pytrees over it (conv HWIO kernels on O, dense kernels on out, biases and
+frozen BN vectors on C — anything with last dim >= 256 and divisible by the
+axis). The train/eval step functions are unchanged: GSPMD propagates the
+channel shardings through the convolutions and matmuls and inserts the
+all-gathers / reduce-scatters itself, exactly the Megatron-style column
+split, compiler-derived instead of hand-written. Use when one chip cannot
+hold the model + optimizer (X-101-scale backbones at large canvases) or to
+cut per-chip HBM pressure below the remat threshold. Composes with ``data``
+(and ``space``): mesh (data, space, model). Equivalence with the pure-dp
+step is proven in tests/test_tensor_parallel.py. The reference has no
+counterpart (DDP replicates parameters by construction).
+
 Multi-host: call jax.distributed.initialize() before building the mesh
 (engine.trainer does when env vars are present).
 """
@@ -35,23 +49,32 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(num_devices: int = -1, devices=None, spatial: int = 1) -> Mesh:
+def make_mesh(num_devices: int = -1, devices=None, spatial: int = 1,
+              model: int = 1) -> Mesh:
     """Build the device mesh.
 
-    spatial == 1 (default): 1-D ``("data",)`` mesh over the devices.
-    spatial  > 1: 2-D ``("data", "space")`` mesh — ``num_devices`` total
-    devices folded into ``(num_devices // spatial, spatial)``.
+    Always has a leading ``data`` axis; a ``space`` axis is appended when
+    ``spatial`` > 1 (canvas-H partitioning) and a trailing ``model`` axis
+    when ``model`` > 1 (channel-sharded parameters). ``num_devices`` total
+    devices fold into ``(num_devices // (spatial*model), spatial?, model?)``
+    so the fastest-varying (most ICI-adjacent) devices carry the
+    highest-bandwidth collectives (tensor-parallel all-gathers).
     """
     devs = list(devices if devices is not None else jax.devices())
     if num_devices and num_devices > 0:
         devs = devs[:num_devices]
-    if spatial <= 1:
-        return Mesh(np.asarray(devs), axis_names=("data",))
-    if len(devs) % spatial != 0:
+    inner = spatial * model
+    if len(devs) % inner != 0:
         raise ValueError(
-            f"{len(devs)} devices not divisible by spatial axis {spatial}")
-    grid = np.asarray(devs).reshape(len(devs) // spatial, spatial)
-    return Mesh(grid, axis_names=("data", "space"))
+            f"{len(devs)} devices not divisible by spatial*model = {inner}")
+    shape, names = [len(devs) // inner], ["data"]
+    if spatial > 1:
+        shape.append(spatial)
+        names.append("space")
+    if model > 1:
+        shape.append(model)
+        names.append("model")
+    return Mesh(np.asarray(devs).reshape(shape), axis_names=tuple(names))
 
 
 def _spatial_size(mesh: Mesh) -> int:
@@ -113,9 +136,41 @@ def put_batch(tree, sharding):
     return jax.device_put(tree, sharding)
 
 
+def model_axis_size(mesh: Mesh) -> int:
+    return dict(mesh.shape).get("model", 1)
+
+
 def replicate(tree, mesh: Mesh):
     s = NamedSharding(mesh, P())
     return jax.device_put(tree, s)
+
+
+def shard_model(tree, mesh: Mesh, min_channels: int = 256):
+    """Tensor-parallel placement of a parameter/optimizer/state pytree.
+
+    Each leaf whose trailing axis is a wide channel dimension (>=
+    ``min_channels`` and divisible by the ``model`` axis) is sharded over
+    ``model`` on that axis — conv HWIO kernels on O, dense kernels on out,
+    biases / frozen BN vectors on C; everything else (scalars, small heads,
+    rng keys, schedule counters) is replicated. The jitted step needs no
+    changes: GSPMD propagates the channel shardings through the network and
+    inserts the collectives (Megatron-style column parallelism, derived by
+    the compiler). On a mesh without a ``model`` axis this is ``replicate``.
+    """
+    m = model_axis_size(mesh)
+    if m <= 1:
+        return replicate(tree, mesh)
+
+    def place(x):
+        shape = getattr(x, "shape", ())
+        if (len(shape) >= 1 and shape[-1] >= min_channels
+                and shape[-1] % m == 0):
+            spec = P(*([None] * (len(shape) - 1) + ["model"]))
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(place, tree)
 
 
 def shard_batch(tree, mesh: Mesh):

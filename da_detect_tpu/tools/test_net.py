@@ -6,7 +6,7 @@ import jax
 
 from ..engine.trainer import create_train_state
 from ..models import build_detection_model
-from ..parallel import batch_sharding, make_mesh, replicate
+from ..parallel import batch_sharding, make_mesh, shard_model
 from ..utils.checkpoint import Checkpointer
 from .common import base_parser, setup
 from .train_core import run_eval
@@ -18,7 +18,8 @@ def main(argv=None):
     args = p.parse_args(argv)
     cfg, logger = setup(args, "da_detect_tpu.test")
 
-    mesh = make_mesh(cfg.TPU.MESH_DATA, spatial=cfg.TPU.MESH_SPATIAL)
+    mesh = make_mesh(cfg.TPU.MESH_DATA, spatial=cfg.TPU.MESH_SPATIAL,
+                     model=cfg.TPU.MESH_MODEL)
     model = build_detection_model(cfg)
 
     # init variables from a dummy eval batch shape via the test loader
@@ -42,6 +43,8 @@ def main(argv=None):
         logger.info("loaded checkpoint at iteration %d", step)
     elif weight:
         variables = Checkpointer.load_weight_file(weight, variables)
+
+    variables = shard_model(variables, mesh)  # replicate or channel-shard
 
     class _S:  # minimal state shim for run_eval
         params = variables["params"]

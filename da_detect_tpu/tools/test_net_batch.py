@@ -18,7 +18,8 @@ def main(argv=None):
     args = p.parse_args(argv)
     cfg, logger = setup(args, "da_detect_tpu.test_batch")
 
-    mesh = make_mesh(cfg.TPU.MESH_DATA, spatial=cfg.TPU.MESH_SPATIAL)
+    mesh = make_mesh(cfg.TPU.MESH_DATA, spatial=cfg.TPU.MESH_SPATIAL,
+                     model=cfg.TPU.MESH_MODEL)
     model = build_detection_model(cfg)
     from ..data import make_data_loader
     loader, _ = make_data_loader(cfg, is_train=False,

@@ -9,14 +9,15 @@ from ..data import make_data_loader, make_data_loader_da
 from ..engine.inference import inference
 from ..engine.trainer import create_train_state, do_train
 from ..models import build_detection_model
-from ..parallel import batch_sharding, make_mesh, replicate
+from ..parallel import batch_sharding, make_mesh, shard_model
 from ..utils.checkpoint import Checkpointer
 
 
 def run_training(cfg, logger, *, mode: str, schedule_kind: str,
                  skip_test: bool = False, use_tensorboard: bool = False,
                  seed: int = 100, profile_dir: str | None = None):
-    mesh = make_mesh(cfg.TPU.MESH_DATA, spatial=cfg.TPU.MESH_SPATIAL)
+    mesh = make_mesh(cfg.TPU.MESH_DATA, spatial=cfg.TPU.MESH_SPATIAL,
+                     model=cfg.TPU.MESH_MODEL)
     sharding = batch_sharding(mesh)
     model = build_detection_model(cfg)
 
@@ -50,7 +51,7 @@ def run_training(cfg, logger, *, mode: str, schedule_kind: str,
                                   frozen=variables["frozen"])
             logger.info("loaded MODEL.WEIGHT %s", cfg.MODEL.WEIGHT)
 
-    state = replicate(state, mesh)
+    state = shard_model(state, mesh)  # replicate, or channel-shard over 'model'
 
     meters = None
     if use_tensorboard:
