@@ -85,3 +85,46 @@ def test_train_batches_are_orientation_pure(mixed_orientation_data):
         assert (h, w) in ((64, 96), (96, 64))
         assert batch.images.shape[0] == 2
     loader.close()
+
+
+def test_list_dataset_wraps_paths(tmp_path):
+    # reference data/datasets/list_dataset.py:11-36 — dummy whole-image box
+    from PIL import Image
+
+    from da_detect_tpu.data.datasets import AbstractDataset, ListDataset
+    from da_detect_tpu.data.datasets.base import SAMPLE_FIELDS
+
+    paths = []
+    for i, (h, w) in enumerate([(40, 60), (60, 40)]):
+        p = tmp_path / f"raw_{i}.png"
+        Image.fromarray(np.full((h, w, 3), 90, np.uint8)).save(p)
+        paths.append(str(p))
+
+    ds = ListDataset(paths)
+    assert isinstance(ds, AbstractDataset)
+    assert len(ds) == 2
+    assert ds.get_img_info(0)["width"] == 60
+    s = ds.sample(1)
+    for f in SAMPLE_FIELDS:
+        assert f in s
+    np.testing.assert_allclose(s["boxes"], [[0, 0, 40, 60]])
+    assert s["labels"].shape == (1,) and s["is_source"]
+
+
+def test_abstract_dataset_init_maps():
+    # reference data/datasets/abstract.py:38-60 — background pinned at 0
+    from da_detect_tpu.data.datasets import AbstractDataset
+
+    class Tiny(AbstractDataset):
+        CLASSES = ("__background__", "car", "person")
+
+    d = Tiny()
+    d.init_maps()
+    assert d.name_to_id["__background__"] == 0
+    assert d.id_to_name[2] == "person"
+
+    class Bad(AbstractDataset):
+        CLASSES = ("car",)
+
+    with pytest.raises(AssertionError):
+        Bad().init_maps()
