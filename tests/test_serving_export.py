@@ -1,0 +1,106 @@
+"""AOT serving export: artifact roundtrips reproduce the in-process jitted
+eval forward exactly (both formats), and the AOT device guard trips on a
+topology mismatch."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from da_detect_tpu.config import get_cfg
+from da_detect_tpu.engine.serving import (batch_spec, export_serving,
+                                          load_serving)
+from da_detect_tpu.models import build_detection_model
+from da_detect_tpu.structures.image_batch import ImageBatch
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _no_persistent_cache():
+    """XLA:CPU cannot mix persistent-cache AOT-loaded executables with
+    serialize_executable deserialization in one process (the runtime's
+    function registry collides: "Buffer Definition Event: Function ... not
+    found"); the serving tests run cache-free. TPU serving is unaffected
+    (see PERFORMANCE.md serving section)."""
+    import jax
+    was = jax.config.jax_enable_compilation_cache
+    jax.config.update("jax_enable_compilation_cache", False)
+    yield
+    jax.config.update("jax_enable_compilation_cache", was)
+
+
+@pytest.fixture(scope="module")
+def tiny_eval_setup(_no_persistent_cache):
+    cfg = get_cfg()
+    cfg.INPUT.MIN_SIZE_TEST = 64
+    cfg.INPUT.MAX_SIZE_TEST = 96
+    cfg.TPU.IMAGE_SHAPE = (0, 0)
+    cfg.MODEL.RPN.PRE_NMS_TOP_N_TEST = 100
+    cfg.MODEL.RPN.POST_NMS_TOP_N_TEST = 20
+    cfg.MODEL.ROI_HEADS.DETECTIONS_PER_IMG = 10
+    model = build_detection_model(cfg)
+    spec = batch_spec(cfg, 1)
+    rng = np.random.RandomState(0)
+    batch = ImageBatch(
+        images=jnp.asarray(rng.randn(*spec.images.shape), jnp.float32),
+        sizes=jnp.asarray([[64, 96]], jnp.int32),
+        orig_sizes=jnp.asarray([[64, 96]], jnp.int32),
+        is_source=jnp.ones((1,), bool))
+    variables = dict(model.init({"params": jax.random.PRNGKey(0)}, batch))
+    ref = jax.jit(lambda v, b: model.apply(v, b))(variables, batch)
+    return cfg, model, variables, batch, ref
+
+
+@pytest.mark.parametrize("fmt", ["aot", "stablehlo"])
+def test_serving_roundtrip_matches_jit(tiny_eval_setup, tmp_path, fmt):
+    cfg, model, variables, batch, ref = tiny_eval_setup
+    path = str(tmp_path / f"serving_{fmt}.pkl")
+    meta = export_serving(cfg, model, variables, path, fmt=fmt)
+    assert meta["canvas"] == (64, 96) and meta["format"] == fmt
+    assert os.path.getsize(path) > 1000
+
+    serving = load_serving(path)
+    out = serving(variables, batch)
+    ref_leaves = jax.tree.leaves(ref)
+    out_leaves = jax.tree.leaves(out)
+    assert len(ref_leaves) == len(out_leaves)
+    for a, b in zip(ref_leaves, out_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+    # output structure survives the flat-leaf boundary (Detections fields)
+    assert jax.tree.structure(out) == jax.tree.structure(ref)
+
+
+def test_aot_device_guard(tiny_eval_setup, tmp_path):
+    cfg, model, variables, batch, ref = tiny_eval_setup
+    path = str(tmp_path / "serving_guard.pkl")
+    export_serving(cfg, model, variables, path, fmt="aot")
+
+    import pickle
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    blob["meta"]["device_kind"] = "TPU v99"
+    with open(path, "wb") as f:
+        pickle.dump(blob, f)
+
+    with pytest.raises(RuntimeError, match="TPU v99"):
+        load_serving(path)
+
+
+def test_serving_is_weight_agnostic(tiny_eval_setup, tmp_path):
+    """One artifact serves any checkpoint of the architecture: calling with
+    perturbed weights changes the result (weights are not baked in)."""
+    cfg, model, variables, batch, ref = tiny_eval_setup
+    path = str(tmp_path / "serving_wa.pkl")
+    export_serving(cfg, model, variables, path, fmt="aot")
+    serving = load_serving(path)
+
+    bumped = jax.tree.map(lambda x: x + 0.05 if x.dtype == jnp.float32 else x,
+                          variables)
+    out_ref = serving(variables, batch)
+    out_bumped = serving(bumped, batch)
+    same = all(np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(jax.tree.leaves(out_ref),
+                               jax.tree.leaves(out_bumped)))
+    assert not same
