@@ -38,11 +38,50 @@ _MAGIC = "da_detect_tpu.serving/v1"
 
 
 def _eval_fn(model, with_masks: bool, with_keypoints: bool):
+    if with_masks and with_keypoints:
+        # the model's apply precedence would silently win; an exporter must
+        # not guess which head the artifact should carry
+        raise ValueError("with_masks and with_keypoints are mutually "
+                         "exclusive — export one artifact per head")
     if with_masks:
         return lambda v, b: model.apply(v, b, with_masks=True)
     if with_keypoints:
         return lambda v, b: model.apply(v, b, with_keypoints=True)
     return lambda v, b: model.apply(v, b)
+
+
+def _export_in_subprocess(exp_bytes: bytes, meta: dict):
+    """Compile+serialize ``exp_bytes`` in a fresh interpreter (see
+    ``_serving_worker`` for why) and return (payload, in_tree, out_tree)."""
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    import da_detect_tpu
+
+    pkg_root = os.path.dirname(os.path.dirname(
+        os.path.abspath(da_detect_tpu.__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = pkg_root + os.pathsep + env.get("PYTHONPATH", "")
+    with tempfile.TemporaryDirectory(prefix="da_serving_") as tmp:
+        req = os.path.join(tmp, "request.pkl")
+        reply = os.path.join(tmp, "reply.pkl")
+        with open(req, "wb") as f:
+            pickle.dump(dict(payload=exp_bytes, platform=meta["platform"],
+                             num_devices=meta["num_devices"]), f)
+        proc = subprocess.run(
+            [sys.executable, "-m", "da_detect_tpu.engine._serving_worker",
+             req, reply],
+            env=env, capture_output=True, text=True)
+        if proc.returncode != 0:
+            tail = "\n".join(proc.stderr.splitlines()[-15:])
+            raise RuntimeError(
+                f"pristine serving-export worker failed "
+                f"(rc={proc.returncode}):\n{tail}")
+        with open(reply, "rb") as f:
+            out = pickle.load(f)
+    return out["payload"], out["aot_in_tree"], out["aot_out_tree"]
 
 
 def batch_spec(cfg, batch_size: int = 1):
@@ -58,11 +97,18 @@ def batch_spec(cfg, batch_size: int = 1):
 
 def export_serving(cfg, model, variables, out_path: str, *,
                    fmt: str = "aot", batch_size: int = 1,
-                   with_masks: bool = False, with_keypoints: bool = False):
+                   with_masks: bool = False, with_keypoints: bool = False,
+                   pristine: bool | None = None):
     """Export the jitted eval forward to ``out_path``.
 
     ``variables`` provides only the parameter *shapes* (specs are taken from
     it); the exported function still takes weights as its first argument.
+
+    ``pristine`` (aot only): compile+serialize in a fresh subprocess instead
+    of in-process. XLA:CPU mis-serializes executables compiled in a process
+    with prior compilations (see ``_serving_worker`` for the bisect), so the
+    default is True on CPU and False elsewhere (on TPU a second process
+    cannot attach to the chip, and the corruption is CPU-specific).
     """
     if fmt not in ("aot", "stablehlo"):
         raise ValueError(f"unknown serving format {fmt!r}")
@@ -91,33 +137,28 @@ def export_serving(cfg, model, variables, out_path: str, *,
         num_devices=jax.device_count(),
     )
 
-    # keep_unused: XLA normally prunes args the program never reads (e.g. a
-    # frozen stat the eval path ignores), which would desync the serialized
-    # executable's calling convention from the (variables, batch) leaf list.
     if fmt == "aot":
-        # Explicit fully-replicated input shardings: a deserialized
-        # executable is loaded over every addressable device and does NOT
-        # auto-commit inputs like jit does, so the compile-time layout must
-        # match what the loader will reconstruct (single- and multi-device
-        # backends alike; load_serving re-places inputs accordingly).
-        import numpy as _np
-        from jax.sharding import Mesh, NamedSharding, PartitionSpec
-        repl = NamedSharding(Mesh(_np.array(jax.devices()), ("d",)),
-                             PartitionSpec())
-        jfn = jax.jit(flat_fn, keep_unused=True, in_shardings=repl)
-        from jax.experimental.serialize_executable import serialize
-        # compile with the persistent compilation cache OFF: serializing an
-        # executable that was itself deserialized from the cache produces an
-        # artifact with dangling auxiliary-function references (XLA:CPU
-        # "Buffer Definition Event: Function ... not found" at run time) —
-        # an export must be a genuine fresh compile
-        cache_was = jax.config.jax_enable_compilation_cache
-        jax.config.update("jax_enable_compilation_cache", False)
-        try:
-            compiled = jfn.lower(*in_leaves).compile()
-        finally:
-            jax.config.update("jax_enable_compilation_cache", cache_was)
-        payload, aot_in_tree, aot_out_tree = serialize(compiled)
+        # Trace/export here (capturing THIS process's numerics config), but
+        # compile+serialize in a pristine subprocess by default on CPU:
+        # XLA:CPU mis-serializes executables from processes with prior
+        # compilations (dangling uniquified fusion names — _serving_worker).
+        from jax import export as jexport
+        exp_bytes = jexport.export(
+            jax.jit(flat_fn, keep_unused=True))(*in_leaves).serialize()
+        if pristine is None:
+            pristine = meta["platform"] == "cpu"
+        if pristine:
+            payload, aot_in_tree, aot_out_tree = _export_in_subprocess(
+                exp_bytes, meta)
+        else:
+            from ._serving_worker import compile_and_serialize
+            cache_was = jax.config.jax_enable_compilation_cache
+            jax.config.update("jax_enable_compilation_cache", False)
+            try:
+                payload, aot_in_tree, aot_out_tree = \
+                    compile_and_serialize(exp_bytes)
+            finally:
+                jax.config.update("jax_enable_compilation_cache", cache_was)
         blob = dict(meta=meta, payload=payload, in_tree=in_tree,
                     out_tree=out_tree, aot_in_tree=aot_in_tree,
                     aot_out_tree=aot_out_tree)
@@ -145,6 +186,12 @@ class ServingModel:
         self.meta = meta
 
     def __call__(self, variables, batch: ImageBatch):
+        tree = jax.tree.structure((variables, batch))
+        if tree != self._in_tree:
+            raise ValueError(
+                "variables/batch pytree structure does not match the "
+                f"exported architecture:\n  artifact: {self._in_tree}\n"
+                f"  call:     {tree}")
         leaves = jax.tree.leaves((variables, batch))
         out = self._call(*leaves)
         # block before returning: overlapping a second dispatch of a
@@ -157,6 +204,13 @@ class ServingModel:
 
 def load_serving(path: str, *, allow_device_mismatch: bool = False
                  ) -> ServingModel:
+    """Load a serving artifact exported by :func:`export_serving`.
+
+    .. warning:: Artifacts are pickles (inherent to
+       ``jax.experimental.serialize_executable``); unpickling executes
+       arbitrary code. Only load artifacts you exported yourself or obtained
+       from a trusted source — treat them like model code, not like data.
+    """
     with open(path, "rb") as f:
         blob = pickle.load(f)
     meta = blob["meta"]

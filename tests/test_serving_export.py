@@ -16,22 +16,8 @@ from da_detect_tpu.models import build_detection_model
 from da_detect_tpu.structures.image_batch import ImageBatch
 
 
-@pytest.fixture(scope="module", autouse=True)
-def _no_persistent_cache():
-    """XLA:CPU cannot mix persistent-cache AOT-loaded executables with
-    serialize_executable deserialization in one process (the runtime's
-    function registry collides: "Buffer Definition Event: Function ... not
-    found"); the serving tests run cache-free. TPU serving is unaffected
-    (see PERFORMANCE.md serving section)."""
-    import jax
-    was = jax.config.jax_enable_compilation_cache
-    jax.config.update("jax_enable_compilation_cache", False)
-    yield
-    jax.config.update("jax_enable_compilation_cache", was)
-
-
 @pytest.fixture(scope="module")
-def tiny_eval_setup(_no_persistent_cache):
+def tiny_eval_setup():
     cfg = get_cfg()
     cfg.INPUT.MIN_SIZE_TEST = 64
     cfg.INPUT.MAX_SIZE_TEST = 96
@@ -86,6 +72,49 @@ def test_aot_device_guard(tiny_eval_setup, tmp_path):
 
     with pytest.raises(RuntimeError, match="TPU v99"):
         load_serving(path)
+
+
+def test_export_after_prior_compiles(tiny_eval_setup, tmp_path):
+    """Round-2 regression: an AOT artifact exported from a process with
+    prior compilations (persistent cache ON — the canonical suite state)
+    failed to run ANYWHERE with "Buffer Definition Event: Function
+    convert_convert_fusion.54 not found" (XLA:CPU serializes dangling
+    uniquified fusion names from earlier compiles). The pristine-subprocess
+    export must be immune to this process's compile history."""
+    cfg, model, variables, batch, ref = tiny_eval_setup
+    # dirty this process: unrelated jitted compilations, cache enabled
+    for k in range(3):
+        f = jax.jit(lambda x: jnp.sin(x) @ x.T + jnp.float32(k) *
+                    x.astype(jnp.bfloat16).astype(jnp.float32))
+        jax.block_until_ready(f(jnp.ones((16, 16), jnp.float32)))
+
+    path = str(tmp_path / "serving_dirty.pkl")
+    export_serving(cfg, model, variables, path, fmt="aot")
+    serving = load_serving(path)
+    out = serving(variables, batch)
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(out)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_serving_rejects_structure_mismatch(tiny_eval_setup, tmp_path):
+    """A variables pytree with a different structure must be rejected
+    up-front (not bound positionally by leaf order)."""
+    cfg, model, variables, batch, ref = tiny_eval_setup
+    path = str(tmp_path / "serving_struct.pkl")
+    export_serving(cfg, model, variables, path, fmt="stablehlo")
+    serving = load_serving(path)
+    renamed = {"params_oops": variables["params"],
+               **{k: v for k, v in variables.items() if k != "params"}}
+    with pytest.raises(ValueError, match="structure"):
+        serving(renamed, batch)
+
+
+def test_export_rejects_masks_plus_keypoints(tiny_eval_setup, tmp_path):
+    cfg, model, variables, batch, ref = tiny_eval_setup
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        export_serving(cfg, model, variables, str(tmp_path / "x.pkl"),
+                       with_masks=True, with_keypoints=True)
 
 
 def test_serving_is_weight_agnostic(tiny_eval_setup, tmp_path):
