@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import logging
 import time
+from collections import OrderedDict
 from typing import Any
 
 import jax
@@ -26,13 +27,21 @@ log = logging.getLogger(__name__)
 # the executable — tens of seconds for the biggest programs even on a
 # persistent-compile-cache hit. Keyed by model identity; the value keeps a
 # strong ref to the model so an id() can't be recycled while cached.
-_EVAL_STEP_CACHE: dict = {}
+# LRU-bounded: the jitted fn closes over the model, so an unbounded cache
+# would pin every model instance (params closure + executables) ever
+# evaluated in the process — a leak for long-lived eval services or config
+# sweeps. 8 entries covers {plain, masks, keypoints} × a couple of live
+# models; test_net_batch reuses one model across checkpoints so it stays
+# a 100% hit either way.
+_EVAL_STEP_CACHE: OrderedDict = OrderedDict()
+_EVAL_STEP_CACHE_MAX = 8
 
 
 def _eval_step_for(model, with_masks: bool, with_keypoints: bool):
     key = (id(model), with_masks, with_keypoints)
     hit = _EVAL_STEP_CACHE.get(key)
     if hit is not None and hit[0] is model:
+        _EVAL_STEP_CACHE.move_to_end(key)
         return hit[1]
     if with_masks:
         fn = jax.jit(lambda v, b: model.apply(v, b, with_masks=True))
@@ -41,6 +50,8 @@ def _eval_step_for(model, with_masks: bool, with_keypoints: bool):
     else:
         fn = jax.jit(lambda v, b: model.apply(v, b))
     _EVAL_STEP_CACHE[key] = (model, fn)
+    while len(_EVAL_STEP_CACHE) > _EVAL_STEP_CACHE_MAX:
+        _EVAL_STEP_CACHE.popitem(last=False)
     return fn
 
 

@@ -123,6 +123,7 @@ def do_train(cfg, model, state, tx, data_iter, *, max_iter: int,
     # (window backlog), not the step cost — average over the window instead.
     window_start = start
     window_iters = 0
+    window_data = 0.0
     for iteration in range(start_iter, max_iter):
         if profile_dir is not None and iteration == profile_range[0]:
             jax.profiler.start_trace(profile_dir)
@@ -131,7 +132,11 @@ def do_train(cfg, model, state, tx, data_iter, *, max_iter: int,
             jax.profiler.stop_trace()
             log.info("profiler trace stopped")
         batch_args = next(data_iter)
-        data_time = time.perf_counter() - last
+        # accumulated over the window, like batch_time: a single sampled
+        # iteration's host wait is misleading for diagnosing input-bound
+        # steps (prefetch hides the wait on most iterations, then one
+        # iteration eats the whole stall)
+        window_data += time.perf_counter() - last
         state, metrics = train_step(state, *batch_args)
         window_iters += 1
         if (iteration % log_period == 0) or iteration == max_iter - 1:
@@ -144,7 +149,8 @@ def do_train(cfg, model, state, tx, data_iter, *, max_iter: int,
                 raise FloatingPointError(f"non-finite loss at {iteration}")
             now = time.perf_counter()
             batch_time = (now - window_start) / window_iters
-            window_start, window_iters = now, 0
+            data_time = window_data / window_iters
+            window_start, window_iters, window_data = now, 0, 0.0
             meters.update(time=batch_time, data=data_time,
                           **{k: float(v) for k, v in metrics.items()})
             eta = eta_string(meters.meters["time"].global_avg,

@@ -151,7 +151,8 @@ class GeneralizedRCNN(nn.Module):
     def train_forward(self, batch_s: ImageBatch, targets_s: Targets,
                       da_state: DAState, batch_t: ImageBatch = None,
                       targets_t: Targets = None, batch_n: ImageBatch = None,
-                      targets_n: Targets = None, *, aligned: bool = False):
+                      targets_n: Targets = None, *, aligned: bool = False,
+                      deterministic: bool = False):
         """Returns (losses dict, new DAState).
 
         Domain slices arrive as separate [k, ...] batches (source / positive
@@ -274,7 +275,8 @@ class GeneralizedRCNN(nn.Module):
 
             da_losses, new_state = self.da_module(
                 det_feats, da_ins_feas, dom_mask, ins_valid, da_ins_set,
-                img_fea_set, is_source_det, da_state, deterministic=False)
+                img_fea_set, is_source_det, da_state,
+                deterministic=deterministic)
             losses.update(da_losses)
 
         return losses, new_state

@@ -124,25 +124,38 @@ _TORCH_RENAMES = [
      "p:feature_extractor/head/layer4/block{0}/conv{1}/kernel:conv"),
     (r"^roi_heads\.box\.feature_extractor\.head\.layer4\.(\d+)\.downsample\.0\.weight$",
      "p:feature_extractor/head/layer4/block{0}/downsample_conv/kernel:conv"),
+    # fc6 consumes the FLATTENED pooled map: torch flattens NCHW -> (C,H,W)
+    # but our NHWC extractor flattens (H,W,C), so fc6's input dim must be
+    # permuted, not just transposed (fc7 and the predictors take 1-D
+    # features — plain transpose is correct there)
+    (r"^roi_heads\.box\.feature_extractor\.fc(6)\.(weight)$",
+     "p:feature_extractor/fc{0}/{w01}:dense_chw"),
     (r"^roi_heads\.box\.feature_extractor\.fc([67])\.(weight|bias)$",
      "p:feature_extractor/fc{0}/{w01}:{dw01}"),
     (r"^roi_heads\.box\.predictor\.cls_score\.(weight|bias)$",
      "p:predictor/cls_score/{w01}:{dw01}"),
     (r"^roi_heads\.box\.predictor\.bbox_pred\.(weight|bias)$",
      "p:predictor/bbox_pred/{w01}:{dw01}"),
-    (r"^da_heads\.imghead\.conv(\d)_da\.(weight|bias)$",
-     "p:da_heads/conv{0}_da/{w01}:{cw01}"),
-    (r"^da_heads\.inshead\.fc(\d)_da\.(weight|bias)$",
-     "p:da_heads/fc{0}_da/{w01}:{dw01}"),
+    # both the 2-domain module ("da_heads.") and the triplet module
+    # ("da_heads_triplet.") land on our single DA module's tree; a triplet
+    # reference checkpoint contains BOTH (generalized_rcnn.py:53-57 there)
+    # and the triplet one is the one its forward uses — it also sorts after
+    # "da_heads." in the state dict, so last-write-wins resolves correctly
+    (r"^da_heads(?:_triplet)?\.imghead\.conv(\d)_da\.(weight|bias)$",
+     "p:da_heads/imghead/conv{0}_da/{w01}:{cw01}"),
+    (r"^da_heads(?:_triplet)?\.inshead\.fc(\d)_da\.(weight|bias)$",
+     "p:da_heads/inshead/fc{0}_da/{w01}:{dw01}"),
 ]
 
 
-def torch_to_flax(state: dict):
+def torch_to_flax(state: dict, *, pool_resolution: int = 7):
     """maskrcnn-benchmark state_dict -> (params, frozen) trees.
 
     Handles convs/linears via the rename table and FrozenBN via stat
     folding. Unmatched keys are returned for the caller to log (mirrors
-    align_and_update_state_dicts' reporting).
+    align_and_update_state_dicts' reporting). ``pool_resolution`` is the
+    box pooler output size (MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION) — needed
+    to un-flatten fc6's input dim for the NCHW->NHWC permutation.
     """
     state = _strip_prefix(state)
     params: dict = {}
@@ -193,6 +206,14 @@ def torch_to_flax(state: dict):
             if kind == "conv":
                 v = _conv(v)
             elif kind == "dense":
+                v = np.ascontiguousarray(v.T)
+            elif kind == "dense_chw":
+                out_f, in_f = v.shape
+                rr = pool_resolution * pool_resolution
+                assert in_f % rr == 0, (key, v.shape, pool_resolution)
+                c = in_f // rr
+                v = v.reshape(out_f, c, pool_resolution, pool_resolution)
+                v = v.transpose(0, 2, 3, 1).reshape(out_f, in_f)
                 v = np.ascontiguousarray(v.T)
             _set(params, path_s.split("/"), v)
             used.add(key)

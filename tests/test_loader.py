@@ -128,3 +128,38 @@ def test_abstract_dataset_init_maps():
 
     with pytest.raises(AssertionError):
         Bad().init_maps()
+
+
+def test_list_dataset_drives_coco_demo(tmp_path):
+    """ListDataset as a label-free inference source feeding COCODemo
+    (the reference pairs list_dataset.py with demo/predictor.py for
+    folder-of-images inference): every path the dataset yields runs
+    through run_on_opencv_image end-to-end."""
+    from PIL import Image
+
+    from da_detect_tpu.data.datasets import ListDataset
+    from da_detect_tpu.demo.predictor import COCODemo
+
+    rng = np.random.RandomState(3)
+    paths = []
+    for i, (h, w) in enumerate([(50, 70), (70, 50)]):
+        p = tmp_path / f"frame_{i}.png"
+        Image.fromarray((rng.rand(h, w, 3) * 255).astype(np.uint8)).save(p)
+        paths.append(str(p))
+    ds = ListDataset(paths)
+
+    cfg = get_cfg()
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.IMAGE_SHAPE = (64, 96)
+    cfg.INPUT.MIN_SIZE_TEST = 60
+    cfg.INPUT.MAX_SIZE_TEST = 96
+    cfg.MODEL.RPN.PRE_NMS_TOP_N_TEST = 100
+    cfg.MODEL.RPN.POST_NMS_TOP_N_TEST = 20
+    demo = COCODemo(cfg, confidence_threshold=0.0)
+    for i in range(len(ds)):
+        s = ds.sample(i)
+        with Image.open(s["path"]) as im:
+            bgr = np.asarray(im.convert("RGB"))[:, :, ::-1].copy()
+        assert bgr.shape[:2] == (s["height"], s["width"])
+        out = demo.run_on_opencv_image(bgr)
+        assert out.shape == bgr.shape and out.dtype == np.uint8

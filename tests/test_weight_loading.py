@@ -115,8 +115,27 @@ def test_torch_statedict_conversion():
         params["predictor"]["cls_score"]["kernel"],
         state_np["module.roi_heads.box.predictor.cls_score.weight"].T)
     np.testing.assert_allclose(
-        params["da_heads"]["fc1_da"]["kernel"],
+        params["da_heads"]["inshead"]["fc1_da"]["kernel"],
         state_np["module.da_heads.inshead.fc1_da.weight"].T)
     # conv bias passes through raw
     np.testing.assert_allclose(params["rpn_head"]["conv"]["bias"],
                                state_np["module.rpn.head.conv.bias"])
+
+
+def test_fc6_flatten_permutation():
+    """fc6 consumes the flattened pooled map: torch flattens (C,H,W), our
+    NHWC extractor flattens (H,W,C). The converted kernel must satisfy
+    torch_fc6(x_chw.flatten) == flax_fc6(x_hwc.flatten) for any x."""
+    rng = np.random.RandomState(7)
+    C, R, OUT = 5, 7, 3
+    w = rng.randn(OUT, C * R * R).astype(np.float32)
+    state = {"roi_heads.box.feature_extractor.fc6.weight": w,
+             "roi_heads.box.feature_extractor.fc6.bias":
+                 rng.randn(OUT).astype(np.float32)}
+    params, _, unmatched = c2_loading.torch_to_flax(state, pool_resolution=R)
+    assert not unmatched
+    k = params["feature_extractor"]["fc6"]["kernel"]
+    x = rng.randn(C, R, R).astype(np.float32)  # CHW as torch pools it
+    ref = w @ x.reshape(-1)
+    ours = x.transpose(1, 2, 0).reshape(-1) @ k  # HWC as we pool it
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)
