@@ -88,6 +88,84 @@ class KPN(nn.Module):
                                        self.ksize)
 
 
+class BasicRef(nn.Module):
+    """Reference ``Basic`` block (network.py:41-88, attention off as in the
+    vendored train.py defaults): three 3x3 conv+ReLU."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(3):
+            x = nn.relu(nn.Conv(self.features, (3, 3), padding="SAME",
+                                dtype=self.dtype, name=f"conv{i}")(x))
+        return x
+
+
+def _up2(t, skip):
+    """2x bilinear upsample to the skip's spatial dims (torch
+    F.interpolate(scale_factor=2, mode='bilinear'), half-pixel centers)."""
+    return jax.image.resize(
+        t, (t.shape[0], skip.shape[1], skip.shape[2], t.shape[3]), "bilinear")
+
+
+def kernel_conv_ref(x: jnp.ndarray, core: jnp.ndarray, ksize: int,
+                    rate: int) -> jnp.ndarray:
+    """Reference ``KernelConv`` on a 4D frame (network.py:154-252, the
+    train.py path where the color axis is folded into N): per-channel KxK
+    per-pixel kernels at dilation ``rate``, zero padding, NO softmax.
+
+    x [B, H, W, C]; core [B, H, W, C*K*K] with flat channel c = n*K*K + tap
+    (torch ``core.view(B, N, K*K, 1, H, W)`` layout), tap = dy*K + dx.
+    """
+    k2 = ksize * ksize
+    b, h, w, c = x.shape
+    pad = (ksize // 2) * rate
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    # [B, H, W, K*K, C]: taps in row-major (dy, dx) reference order
+    taps = jnp.stack(
+        [xp[:, dy * rate:dy * rate + h, dx * rate:dx * rate + w, :]
+         for dy in range(ksize) for dx in range(ksize)], axis=3)
+    core = core.reshape(b, h, w, c, k2)          # c-major, tap-minor
+    return jnp.einsum("bhwtc,bhwct->bhwc", taps, core)
+
+
+class KPNRef(nn.Module):
+    """Reference-exact EfficientDeRain KPN (network.py:89-152) with the
+    vendored train.py defaults: color, burst_length=1, blind_est,
+    kernel_size=[3], no sep_conv / attention / core bias. NHWC flax port
+    whose forward matches the torch module on shared weights
+    (tests/test_derain.py parity)."""
+
+    ksize: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, rainy: jnp.ndarray) -> jnp.ndarray:
+        x = rainy.astype(self.dtype)
+        out_ch = 3 * self.ksize * self.ksize
+        pool = lambda t: nn.avg_pool(t, (2, 2), (2, 2))
+        c1 = BasicRef(64, self.dtype, name="conv1")(x)
+        c2 = BasicRef(128, self.dtype, name="conv2")(pool(c1))
+        c3 = BasicRef(256, self.dtype, name="conv3")(pool(c2))
+        c4 = BasicRef(512, self.dtype, name="conv4")(pool(c3))
+        c5 = BasicRef(512, self.dtype, name="conv5")(pool(c4))
+        c6 = BasicRef(512, self.dtype, name="conv6")(
+            jnp.concatenate([c4, _up2(c5, c4)], axis=-1))
+        c7 = BasicRef(256, self.dtype, name="conv7")(
+            jnp.concatenate([c3, _up2(c6, c3)], axis=-1))
+        c8 = BasicRef(out_ch, self.dtype, name="conv8")(
+            jnp.concatenate([c2, _up2(c7, c2)], axis=-1))
+        core = nn.Conv(out_ch, (1, 1), dtype=self.dtype,
+                       name="outc")(_up2(c8, x))
+        core = core.astype(jnp.float32)
+        preds = [kernel_conv_ref(rainy.astype(jnp.float32), core,
+                                 self.ksize, rate) for rate in (1, 2, 3, 4)]
+        return nn.Conv(3, (3, 3), padding="SAME", dtype=self.dtype,
+                       name="conv_final")(jnp.concatenate(preds, axis=-1))
+
+
 def derain_loss(pred: jnp.ndarray, clean: jnp.ndarray,
                 l1_weight: float = 1.0) -> jnp.ndarray:
     """L2 + TV-ish L1 composite (reference LossFunc: basic + anneal terms,

@@ -110,6 +110,88 @@ def test_ssim_matches_numpy_reference():
     assert float(psnr(jnp.asarray(a), jnp.asarray(a))) > 100
 
 
+def test_refkpn_matches_reference_network():
+    """Shared-weights forward parity vs the reference's OWN torch KPN
+    (efficientderain-master/network.py:89-252, constructed with the vendored
+    train.py defaults: color, burst_length=1, blind_est, kernel_size=[3],
+    no sep_conv/attention/core_bias). Anchors the U-Net trunk, the bilinear
+    up path, the 4-rate KernelConv tap/channel layout and conv_final."""
+    import importlib.util
+    import os
+
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    ref_py = "/root/reference/efficientderain-master/network.py"
+    if not os.path.exists(ref_py):
+        pytest.skip("reference tree not available")
+    spec = importlib.util.spec_from_file_location("edr_network", ref_py)
+    network = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(network)
+
+    from da_detect_tpu.models.derain import KPNRef
+
+    ref = network.KPN(color=True, burst_length=1, blind_est=True,
+                      kernel_size=[3], sep_conv=False, channel_att=False,
+                      spatial_att=False, upMode="bilinear", core_bias=False)
+    g = torch.Generator().manual_seed(7)
+    sd = {k: torch.randn(v.shape, generator=g) * 0.05
+          for k, v in ref.state_dict().items()}
+    ref.load_state_dict(sd)
+    ref.eval()
+
+    # torch -> flax name/layout mapping
+    params = {}
+    for k, v in sd.items():
+        w = v.numpy()
+        parts = k.split(".")
+        if parts[0].startswith("conv") and parts[1] == "conv1":
+            node = (parts[0], f"conv{int(parts[2]) // 2}")   # 0,2,4 -> 0,1,2
+        else:
+            node = (parts[0],)                               # outc, conv_final
+        leaf = "kernel" if parts[-1] == "weight" else "bias"
+        if leaf == "kernel":
+            w = w.transpose(2, 3, 1, 0)                      # OIHW -> HWIO
+        d = params
+        for n in node:
+            d = d.setdefault(n, {})
+        d[leaf] = jnp.asarray(w)
+
+    rng = np.random.RandomState(11)
+    x = rng.rand(2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        want = ref(xt, xt).numpy().transpose(0, 2, 3, 1)
+
+    model = KPNRef()
+    init = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    assert jax.tree.structure(init["params"]) == jax.tree.structure(params), \
+        "flax KPNRef tree drifted from the reference layout"
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+    # float32 conv-accumulation-order noise on outputs of magnitude ~40:
+    # tolerate abs error scaled to the output range, not per-element rtol
+    # (near-zero elements otherwise dominate the relative error)
+    np.testing.assert_allclose(got, want, rtol=1e-3,
+                               atol=5e-4 * np.abs(want).max())
+
+
+def test_rain_compositing_formula_pinned():
+    """Pin rain_aug's screen compositing to the reference formula
+    ``img + rain - img*rain`` on [0,1] floats then *255 (reference
+    generate_rainy_cityscape.py:103-121, rain_aug), on a fixed mask with
+    darken=1.0 (darken<1 is our documented extension, off by default in
+    the parity sense)."""
+    from da_detect_tpu.tools.generate_rainy_dataset import rain_aug
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (16, 20, 3)).astype(np.uint8)
+    mask = rng.rand(16, 20).astype(np.float32)
+    x = img.astype(np.float32) / 255.0
+    want = np.clip(x + mask[..., None] - x * mask[..., None], 0.0, 1.0) * 255.0
+    got = rain_aug(img, mask, darken=1.0)
+    np.testing.assert_allclose(got, want.astype(np.uint8), atol=1)
+
+
 def test_derain_trainer_end_to_end(tmp_path):
     """The CLI trainer learns on a tiny synthetic-rain dataset and writes a
     checkpoint (reference trainer.py Pre_train path)."""
