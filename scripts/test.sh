@@ -2,5 +2,14 @@
 # Run the test suite on the virtual CPU mesh, detached from the axon TPU
 # relay (the relay handshake in sitecustomize can stall interpreter startup
 # for minutes; conftest.py runs too late to prevent it).
+#
+# stderr filter: every persistent-cache hit makes XLA's cpu_aot_loader.cc
+# print a multi-KB ERROR about the prefer-no-gather/scatter *tuning* hints
+# (LLVM Downfall-mitigation flags embedded at compile time that the loader's
+# host-feature enumeration never lists — same-host entries always "mismatch").
+# tests/test_compile_cache_noise.py proves the mismatch is confined to those
+# hints and that a REAL ISA mismatch would still fail a test, so dropping
+# exactly these lines hides noise, not signal.
 exec env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
-  python -m pytest "${@:-tests/}" -q -p no:cacheprovider
+  python -m pytest "${@:-tests/}" -q -p no:cacheprovider \
+  2> >(grep -v --line-buffered 'cpu_aot_loader.cc' >&2)
