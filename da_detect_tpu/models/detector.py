@@ -48,7 +48,7 @@ class GeneralizedRCNN(nn.Module):
     backbone: nn.Module
     feature_extractor: Optional[nn.Module]
     predictor: Optional[nn.Module]
-    da_module: Optional[nn.Module]
+    da_heads: Optional[nn.Module]
     mask_head: Optional[nn.Module]
     keypoint_head: Optional[nn.Module]
     rpn_only: bool
@@ -212,7 +212,7 @@ class GeneralizedRCNN(nn.Module):
                 targets_s)
 
         new_state = da_state
-        if self.da_module is not None and mode != "source_only":
+        if self.da_heads is not None and mode != "source_only":
             tgt_key = self.make_rng("sampling")
             feats_t, _, _, _, props_t = self._rpn_and_proposals(
                 batch_t, targets_t, append_gt=False)
@@ -273,7 +273,7 @@ class GeneralizedRCNN(nn.Module):
                         da_ins_set.append(self.feature_extractor(fd, samp.rois))
                     da_ins_set = tuple(da_ins_set)
 
-            da_losses, new_state = self.da_module(
+            da_losses, new_state = self.da_heads(
                 det_feats, da_ins_feas, dom_mask, ins_valid, da_ins_set,
                 img_fea_set, is_source_det, da_state,
                 deterministic=deterministic)
@@ -324,7 +324,7 @@ def build_detection_model(cfg):
         backbone=backbone,
         feature_extractor=extractor,
         predictor=predictor,
-        da_module=da,
+        da_heads=da,
         mask_head=mask,
         keypoint_head=kp,
         rpn_only=cfg.MODEL.RPN_ONLY,

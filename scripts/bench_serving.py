@@ -88,7 +88,12 @@ def main():
     run_child("export", canvas, art)
     print("== fresh-process cold starts ==")
     run_child("aot", canvas, art)
-    run_child("jit-warm", canvas, art)
+    # jit-warm must actually be warm: populate a fresh shared cache with a
+    # first (discarded) run, then measure the second against it — the ambient
+    # environment's cache state is unknown and would mislabel the comparison
+    warm_cache = {"JAX_COMPILATION_CACHE_DIR": tempfile.mkdtemp()}
+    run_child("jit-warm(populate, discarded)", canvas, art, warm_cache)
+    run_child("jit-warm", canvas, art, warm_cache)
     run_child("jit-cold", canvas, art,
               {"JAX_COMPILATION_CACHE_DIR": tempfile.mkdtemp()})
 

@@ -94,6 +94,12 @@ def reference_model_stack():
 
     import torch
     six_was = getattr(torch, "_six", None)
+    # CPU fix: the DA losses cast labels with
+    # ``.type(torch.cuda.FloatTensor)`` (da_heads/loss.py:99,172), which
+    # needs a CUDA build; alias it to the CPU tensor type (same math,
+    # Tensor.type accepts either class) and restore on exit.
+    cuda_ft_was = torch.cuda.__dict__.get("FloatTensor")
+    torch.cuda.FloatTensor = torch.FloatTensor
     _np_aliases = []
     try:
         # ---- shims ----
@@ -139,6 +145,10 @@ def reference_model_stack():
             sys.path.remove(REF_ROOT)
         if six_was is None and hasattr(torch, "_six"):
             del torch._six
+        if cuda_ft_was is None:
+            torch.cuda.__dict__.pop("FloatTensor", None)
+        else:
+            torch.cuda.FloatTensor = cuda_ft_was
         for alias in _np_aliases:
             delattr(np, alias)
         for k in [k for k in sys.modules
