@@ -41,8 +41,9 @@ class COCODemo:
         self.variables = self.model.init({"params": jax.random.PRNGKey(0)}, dummy)
         weight = weight or cfg.MODEL.WEIGHT
         if weight:
-            self.variables = Checkpointer.load_weight_file(weight,
-                                                           dict(self.variables))
+            self.variables = Checkpointer.load_weight_file(
+                weight, dict(self.variables),
+                pool_resolution=cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION)
         self._forward = jax.jit(lambda v, b: self.model.apply(v, b))
 
     def compute_prediction(self, original_bgr: np.ndarray):

@@ -70,10 +70,19 @@ def _export_in_subprocess(exp_bytes: bytes, meta: dict):
         with open(req, "wb") as f:
             pickle.dump(dict(payload=exp_bytes, platform=meta["platform"],
                              num_devices=meta["num_devices"]), f)
-        proc = subprocess.run(
-            [sys.executable, "-m", "da_detect_tpu.engine._serving_worker",
-             req, reply],
-            env=env, capture_output=True, text=True)
+        try:
+            # compiles are minutes, not hours — a hung XLA compile in the
+            # worker must surface instead of blocking export forever
+            proc = subprocess.run(
+                [sys.executable, "-m", "da_detect_tpu.engine._serving_worker",
+                 req, reply],
+                env=env, capture_output=True, text=True, timeout=1800)
+        except subprocess.TimeoutExpired as e:
+            tail = "\n".join(
+                (e.stderr or "").splitlines()[-15:]) if e.stderr else "<none>"
+            raise RuntimeError(
+                "pristine serving-export worker timed out after "
+                f"{e.timeout:.0f}s; stderr tail:\n{tail}") from e
         if proc.returncode != 0:
             tail = "\n".join(proc.stderr.splitlines()[-15:])
             raise RuntimeError(

@@ -67,8 +67,12 @@ def create_train_state(cfg, model, rng, sample_args: tuple,
 
 
 def make_train_step(model, tx, *, aligned: bool = False,
-                    donate: bool = True) -> Callable:
-    """Returns jitted step(state, *batch_args) -> (state, metrics)."""
+                    donate: bool = True,
+                    deterministic: bool = False) -> Callable:
+    """Returns jitted step(state, *batch_args) -> (state, metrics).
+
+    ``deterministic`` disables dropout (eval-mode DAInsHead) — used by the
+    reference-anchored trajectory parity tests; production leaves it off."""
 
     def step_fn(state: TrainState, batch_s, targets_s, batch_t=None,
                 targets_t=None, batch_n=None, targets_n=None):
@@ -82,6 +86,7 @@ def make_train_step(model, tx, *, aligned: bool = False,
             losses, new_da = model.apply(
                 {"params": params, "frozen": state.frozen}, batch_s, targets_s,
                 state.da_state, *extra, aligned=aligned,
+                deterministic=deterministic,
                 method=model.train_forward, rngs=rngs)
             total = sum(jnp.asarray(v, jnp.float32) for v in losses.values())
             return total, (losses, new_da)

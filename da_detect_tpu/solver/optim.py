@@ -40,10 +40,20 @@ class SGDState(NamedTuple):
 
 def detectron_sgd(lr_schedule: Callable, momentum: float, weight_decay: float,
                   weight_decay_bias: float, bias_lr_factor: float,
-                  labels) -> optax.GradientTransformation:
+                  labels, *,
+                  bias_lr_schedule: Callable | None = None
+                  ) -> optax.GradientTransformation:
     """counts on update(..., params=...) and an int step passed via the
     opt-state-free schedule: we thread the iteration through `step` inside
-    the optimizer state."""
+    the optimizer state.
+
+    ``bias_lr_schedule`` overrides the multiplicative ``bias_lr_factor``
+    with a full per-group schedule — needed for cosine parity with the
+    reference triplet trainer, where timm's CosineLRScheduler warms every
+    param group up from the SAME warmup_lr_init and anneals to the SAME
+    lr_min; only the base value is scaled per group (Scheduler.base_values
+    = each group's initial lr). A plain factor x schedule(t) would scale
+    the warmup floor and lr_min too."""
 
     def init(params):
         return (jnp.zeros([], jnp.int32),
@@ -52,15 +62,17 @@ def detectron_sgd(lr_schedule: Callable, momentum: float, weight_decay: float,
     def update(grads, state, params):
         step, sgd = state
         lr = lr_schedule(step)
+        lr_bias = (bias_lr_schedule(step) if bias_lr_schedule is not None
+                   else bias_lr_factor * lr)
 
         def upd(g, p, m, lab):
             if lab == "frozen":
                 return jnp.zeros_like(g), m
             wd = weight_decay_bias if lab == "bias" else weight_decay
-            f = bias_lr_factor if lab == "bias" else 1.0
+            step_lr = lr_bias if lab == "bias" else lr
             d = g + wd * p
             m_new = momentum * m + d
-            return -(lr * f) * m_new, m_new
+            return -step_lr * m_new, m_new
 
         out = jax.tree_util.tree_map(upd, grads, params, sgd.momentum, labels)
         updates = jax.tree_util.tree_map(lambda x: x[0], out,
@@ -77,6 +89,12 @@ def make_optimizer(cfg, params, schedule_kind: str = "multistep"):
     s = cfg.SOLVER
     labels = param_labels(params, cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT)
     sched = make_lr_scheduler(cfg, schedule_kind)
+    # biases get their own schedule with base lr x BIAS_LR_FACTOR: for
+    # multistep this equals factor x schedule (purely multiplicative); for
+    # cosine it reproduces timm's per-group base_values semantics (shared
+    # warmup_lr_init / lr_min, scaled base) — see detectron_sgd
+    sched_bias = make_lr_scheduler(cfg, schedule_kind,
+                                   base_scale=s.BIAS_LR_FACTOR)
     tx = detectron_sgd(sched, s.MOMENTUM, s.WEIGHT_DECAY, s.WEIGHT_DECAY_BIAS,
-                       s.BIAS_LR_FACTOR, labels)
+                       s.BIAS_LR_FACTOR, labels, bias_lr_schedule=sched_bias)
     return tx, sched

@@ -45,10 +45,15 @@ def warmup_cosine(base_lr: float, max_iter: int, lr_min: float = 1e-6,
     return schedule
 
 
-def make_lr_scheduler(cfg, kind: str = "multistep"):
+def make_lr_scheduler(cfg, kind: str = "multistep", base_scale: float = 1.0):
+    """``base_scale`` scales only the base lr (NOT warmup_lr_init/lr_min),
+    mirroring how both reference schedulers treat per-group lrs: torch
+    WarmupMultiStepLR scales each group's base by warm*decay, and timm's
+    CosineLRScheduler derives per-group base_values from the group lr while
+    warmup_lr_init and lr_min are shared scalars."""
     s = cfg.SOLVER
     if kind == "cosine":
-        return warmup_cosine(s.BASE_LR, s.MAX_ITER, s.LR_MIN, s.WARMUP_LR,
-                             s.WARMUP_ITERS)
-    return warmup_multistep(s.BASE_LR, s.STEPS, s.GAMMA, s.WARMUP_FACTOR,
-                            s.WARMUP_ITERS, s.WARMUP_METHOD)
+        return warmup_cosine(s.BASE_LR * base_scale, s.MAX_ITER, s.LR_MIN,
+                             s.WARMUP_LR, s.WARMUP_ITERS)
+    return warmup_multistep(s.BASE_LR * base_scale, s.STEPS, s.GAMMA,
+                            s.WARMUP_FACTOR, s.WARMUP_ITERS, s.WARMUP_METHOD)

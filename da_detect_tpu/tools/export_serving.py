@@ -59,7 +59,9 @@ def main(argv=None):
         variables.update(state)
         logger.info("exporting with checkpoint at iteration %d", step)
     elif weight:
-        variables = Checkpointer.load_weight_file(weight, variables)
+        variables = Checkpointer.load_weight_file(
+            weight, variables,
+            pool_resolution=cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION)
 
     meta = export_serving(cfg, model, variables, args.output,
                           fmt=args.format, batch_size=args.batch_size,

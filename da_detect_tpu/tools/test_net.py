@@ -42,7 +42,9 @@ def main(argv=None):
         variables.update(state)
         logger.info("loaded checkpoint at iteration %d", step)
     elif weight:
-        variables = Checkpointer.load_weight_file(weight, variables)
+        variables = Checkpointer.load_weight_file(
+            weight, variables,
+            pool_resolution=cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION)
 
     variables = shard_model(variables, mesh)  # replicate or channel-shard
 

@@ -46,7 +46,9 @@ def run_training(cfg, logger, *, mode: str, schedule_kind: str,
         if cfg.MODEL.WEIGHT:
             variables = {"params": jax.device_get(state.params),
                          "frozen": jax.device_get(state.frozen)}
-            variables = Checkpointer.load_weight_file(cfg.MODEL.WEIGHT, variables)
+            variables = Checkpointer.load_weight_file(
+                cfg.MODEL.WEIGHT, variables,
+                pool_resolution=cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION)
             state = state.replace(params=variables["params"],
                                   frozen=variables["frozen"])
             logger.info("loaded MODEL.WEIGHT %s", cfg.MODEL.WEIGHT)

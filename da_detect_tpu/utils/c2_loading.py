@@ -15,6 +15,7 @@ Layout notes:
 
 from __future__ import annotations
 
+import math
 import pickle
 import re
 from typing import Any
@@ -146,6 +147,30 @@ _TORCH_RENAMES = [
     (r"^da_heads(?:_triplet)?\.inshead\.fc(\d)_da\.(weight|bias)$",
      "p:da_heads/inshead/fc{0}_da/{w01}:{dw01}"),
 ]
+
+
+def infer_pool_resolution(state: dict):
+    """Derive the box pooler resolution R from a torch checkpoint itself:
+    fc6's input dim is C*R*R where C is the channel count of the conv
+    feeding the pooler (the FPN output convs for FPN2MLP heads). Returns
+    None when the checkpoint has no fc6 (C4 head — R is irrelevant) or the
+    shapes don't pin a unique R (caller falls back to its configured value).
+    """
+    state = _strip_prefix(state)
+    fc6 = state.get("roi_heads.box.feature_extractor.fc6.weight")
+    if fc6 is None:
+        return None
+    in_f = int(np.asarray(fc6).shape[1])
+    chans = None
+    for k in ("backbone.fpn.fpn_layer1.weight",
+              "backbone.fpn.fpn_layer2.weight"):
+        if k in state:
+            chans = int(np.asarray(state[k]).shape[0])
+            break
+    if not chans or in_f % chans:
+        return None
+    r = math.isqrt(in_f // chans)
+    return r if r * r * chans == in_f else None
 
 
 def torch_to_flax(state: dict, *, pool_resolution: int = 7):

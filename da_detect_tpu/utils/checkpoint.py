@@ -74,9 +74,17 @@ class Checkpointer:
 
     # -- external weights --------------------------------------------------
     @staticmethod
-    def load_weight_file(path: str, variables: dict) -> dict:
+    def load_weight_file(path: str, variables: dict,
+                         pool_resolution: int | None = None) -> dict:
         """Load reference-format weights into a flax variables dict
-        ({"params": ..., "frozen": ...}); returns the updated dict."""
+        ({"params": ..., "frozen": ...}); returns the updated dict.
+
+        ``pool_resolution`` is MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION of the
+        model the checkpoint was trained with — required to un-flatten the
+        fc6 kernel for the NCHW->NHWC permutation (torch_to_flax). When not
+        given it is derived from the model's own fc6 input dim against the
+        checkpoint's, so an R=14 FPN2MLP checkpoint can never be silently
+        mis-permuted with the R=7 default (advisor round-3 finding)."""
         if path.startswith("catalog://"):
             path = ModelCatalog.get(path)
         if not os.path.exists(path):
@@ -97,7 +105,10 @@ class Checkpointer:
             state = ckpt.get("model", ckpt)
             state = {k: v.numpy() if hasattr(v, "numpy") else v
                      for k, v in state.items()}
-            p_src, f_src, unmatched = c2_loading.torch_to_flax(state)
+            if pool_resolution is None:
+                pool_resolution = c2_loading.infer_pool_resolution(state) or 7
+            p_src, f_src, unmatched = c2_loading.torch_to_flax(
+                state, pool_resolution=pool_resolution)
         applied = c2_loading.merge_into(params, p_src)
         applied += c2_loading.merge_into(frozen, f_src)
         log.info("loaded %d tensors from %s", len(applied), path)

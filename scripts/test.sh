@@ -10,6 +10,9 @@
 # tests/test_compile_cache_noise.py proves the mismatch is confined to those
 # hints and that a REAL ISA mismatch would still fail a test, so dropping
 # exactly these lines hides noise, not signal.
+# The filter is narrowed to exactly the known-benign complaint (one line
+# per tuning hint), so a genuinely new error class emitted from the same
+# file still surfaces in test runs.
 exec env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
   python -m pytest "${@:-tests/}" -q -p no:cacheprovider \
-  2> >(grep -v --line-buffered 'cpu_aot_loader.cc' >&2)
+  2> >(grep -v --line-buffered -E 'cpu_aot_loader\.cc.*Target machine feature \+prefer-no-(gather|scatter) is not' >&2)

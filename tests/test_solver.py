@@ -66,6 +66,50 @@ def test_sgd_matches_torch():
                                tb.detach().numpy(), rtol=1e-5, atol=1e-6)
 
 
+def test_cosine_bias_group_semantics():
+    """Under the cosine schedule biases must follow timm's per-group rule
+    (reference triplet trainer, train_net_triplet.py:66-81): every group
+    warms up from the SAME warmup_lr_init and anneals to the SAME lr_min;
+    only the group's base lr (2x for biases) is scaled. A multiplicative
+    2 x schedule(t) would double the warmup floor and lr_min too."""
+    from da_detect_tpu.solver.optim import make_optimizer
+
+    cfg = get_cfg()
+    s = cfg.SOLVER
+    s.BASE_LR, s.LR_MIN, s.WARMUP_LR, s.WARMUP_ITERS = 0.001, 1e-6, 1e-4, 4
+    s.MAX_ITER, s.MOMENTUM = 20, 0.0
+    s.WEIGHT_DECAY = s.WEIGHT_DECAY_BIAS = 0.0
+    s.BIAS_LR_FACTOR = 2.0
+    params = {"layer": {"kernel": jnp.zeros((2,)), "bias": jnp.zeros((2,))}}
+    tx, _ = make_optimizer(cfg, params, "cosine")
+    opt = tx.init(params)
+    g = jax.tree_util.tree_map(jnp.ones_like, params)
+
+    def lrs(updates):
+        return (-float(updates["layer"]["kernel"][0]),
+                -float(updates["layer"]["bias"][0]))
+
+    # t=0 (warmup start): both groups at warmup_lr_init — NOT 2x for bias
+    upd, opt = tx.update(g, opt, params)
+    w_lr, b_lr = lrs(upd)
+    np.testing.assert_allclose(w_lr, 1e-4, rtol=1e-6)
+    np.testing.assert_allclose(b_lr, 1e-4, rtol=1e-6)
+    # t=2 (mid-warmup): linear from shared w0 to each group's base
+    upd, opt = tx.update(g, opt, params)  # t=1
+    upd, opt = tx.update(g, opt, params)  # t=2
+    w_lr, b_lr = lrs(upd)
+    np.testing.assert_allclose(w_lr, 1e-4 + 2 * (0.001 - 1e-4) / 4, rtol=1e-6)
+    np.testing.assert_allclose(b_lr, 1e-4 + 2 * (0.002 - 1e-4) / 4, rtol=1e-6)
+    # cosine phase: lr_min shared, base per-group
+    for _ in range(8):  # t -> 10
+        upd, opt = tx.update(g, opt, params)
+    w_lr, b_lr = lrs(upd)
+    t, tmax = 10, 20
+    cos = 0.5 * (1 + np.cos(np.pi * t / tmax))
+    np.testing.assert_allclose(w_lr, 1e-6 + (0.001 - 1e-6) * cos, rtol=1e-5)
+    np.testing.assert_allclose(b_lr, 1e-6 + (0.002 - 1e-6) * cos, rtol=1e-5)
+
+
 def test_param_labels_freezing():
     params = {
         "backbone": {"body": {

@@ -139,3 +139,61 @@ def test_fc6_flatten_permutation():
     ref = w @ x.reshape(-1)
     ours = x.transpose(1, 2, 0).reshape(-1) @ k  # HWC as we pool it
     np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+def test_infer_pool_resolution():
+    """R is derived from fc6's input dim / the FPN conv channel count — the
+    dangerous case is an R=14 FPN2MLP checkpoint loaded with the R=7
+    default: 256*14*14 is divisible by 49, so the old assert passed and the
+    kernel was silently mis-permuted (advisor round-3, checkpoint.py:100)."""
+    rng = np.random.RandomState(3)
+    C, OUT = 256, 8
+    for R in (7, 14):
+        state = {
+            "roi_heads.box.feature_extractor.fc6.weight":
+                rng.randn(OUT, C * R * R).astype(np.float32),
+            "backbone.fpn.fpn_layer1.weight":
+                rng.randn(C, C, 3, 3).astype(np.float32),
+        }
+        assert c2_loading.infer_pool_resolution(state) == R
+    # C4 head (no fc6): resolution is irrelevant -> None
+    assert c2_loading.infer_pool_resolution(
+        {"backbone.fpn.fpn_layer1.weight": np.zeros((C, C, 3, 3))}) is None
+    # no FPN conv to pin C -> not derivable -> None (caller uses cfg value)
+    assert c2_loading.infer_pool_resolution(
+        {"roi_heads.box.feature_extractor.fc6.weight":
+             np.zeros((OUT, C * 49))}) is None
+
+
+def test_load_weight_file_derives_r14(tmp_path):
+    """End-to-end: an R=14 torch checkpoint loaded WITHOUT an explicit
+    pool_resolution must still land fc6 with the correct permutation."""
+    import torch
+
+    from da_detect_tpu.utils.checkpoint import Checkpointer
+
+    rng = np.random.RandomState(11)
+    C, R, OUT = 256, 14, 6
+    w = rng.randn(OUT, C * R * R).astype(np.float32)
+    state = {
+        "roi_heads.box.feature_extractor.fc6.weight": torch.from_numpy(w),
+        "backbone.fpn.fpn_layer1.weight":
+            torch.from_numpy(rng.randn(C, C, 3, 3).astype(np.float32)),
+    }
+    path = tmp_path / "ckpt_r14.pth"
+    torch.save({"model": state}, str(path))
+    variables = {
+        "params": {
+            "feature_extractor": {"fc6": {
+                "kernel": np.zeros((C * R * R, OUT), np.float32)}},
+            "backbone": {"fpn": {"fpn_layer1": {
+                "kernel": np.zeros((3, 3, C, C), np.float32)}}},
+        },
+        "frozen": {},
+    }
+    out = Checkpointer.load_weight_file(str(path), variables)
+    k = np.asarray(out["params"]["feature_extractor"]["fc6"]["kernel"])
+    x = rng.randn(C, R, R).astype(np.float32)
+    ref = w @ x.reshape(-1)
+    ours = x.transpose(1, 2, 0).reshape(-1) @ k
+    np.testing.assert_allclose(ours, ref, rtol=1e-4)
