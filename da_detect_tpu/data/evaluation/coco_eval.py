@@ -184,8 +184,11 @@ def _evaluate_img(dts, gts, area_rng, max_det, iou_type="bbox"):
             dtm[ti, di] = m
             gtm[ti, m] = di
             dt_ignore[ti, di] = gt_ignore[m]
-    # unmatched dts outside the area range are ignored
-    d_area = np.asarray([d["bbox"][2] * d["bbox"][3] for d in dts])
+    # unmatched dts outside the area range are ignored; a det's area is
+    # iou-type-specific (segm: mask pixel count — pycocotools loadRes sets
+    # ann['area'] = maskUtils.area(segmentation); bbox: w*h)
+    d_area = np.asarray([d.get("area", d["bbox"][2] * d["bbox"][3])
+                         for d in dts])
     out_of_rng = (d_area < area_rng[0]) | (d_area > area_rng[1])
     dt_ignore |= (dtm < 0) & out_of_rng[None, :]
     return dict(
@@ -292,6 +295,10 @@ class CocoEvaluator:
                     from ..masker import paste_single_crop
                     d["_mask"], d["_mask_offset"] = paste_single_crop(
                         np.asarray(mask_probs[di]), b, self._img_hw[img_id])
+                    # pycocotools loadRes: a segm det's area is its MASK
+                    # pixel count, not its box area — drives the unmatched
+                    # det area gating in _evaluate_img
+                    d["area"] = float(d["_mask"].sum())
                 elif self.iou_type == "keypoints":
                     kp = np.asarray(p["keypoints"][di], np.float64)
                     d["_kps"] = kp

@@ -291,3 +291,121 @@ def test_oks_det_area_comes_from_keypoint_extents():
     assert res["APm"] == 1.0
     assert res["APl"] == -1.0
     assert res["AP"] == 1.0
+
+
+# --------------------------------------------------------- segm protocol
+# Mask-eval semantics the reference relies on through pycocotools maskUtils
+# (reference coco_eval.py:232-268 prepare_for_coco_segmentation + COCOeval
+# iouType='segm'): IoU on rasterized mask pixels, crowd-as-ignore on mask
+# pixels, det area = mask pixel count, empty masks. Every expected value is
+# hand-derived in the comments.
+
+def rect_poly(x, y, w, h):
+    """Polygon whose fillPoly rasterization is exactly the w x h pixel rect
+    at (x, y) (OpenCV fills the boundary, so corners go to x+w-1/y+h-1 —
+    verified against cv2.fillPoly inclusivity)."""
+    return [[x, y, x + w - 1, y, x + w - 1, y + h - 1, x, y + h - 1]]
+
+
+def seg_dets(rows):
+    """rows: list of ((x, y, w, h), score, mask_cols or None).
+    The prob map is built at the exact paste-crop size (h, w), so pasting is
+    interpolation-free: mask == box rect, optionally only the first
+    ``mask_cols`` columns (None = full box)."""
+    boxes, scores, probs = [], [], []
+    for (x, y, w, h), score, cols in rows:
+        boxes.append(xyxy(x, y, w, h))
+        scores.append(score)
+        p = np.zeros((h, w), np.float32)
+        p[:, : (w if cols is None else cols)] = 1.0
+        probs.append(p)
+    return dict(boxes=np.asarray(boxes, np.float64).reshape(-1, 4),
+                scores=np.asarray(scores, np.float64),
+                labels=np.ones(len(rows), np.int64),
+                mask_probs=probs)
+
+
+def test_mask_iou_diverges_from_box_iou():
+    """The ranking flip that separates segm from bbox eval: the GT mask is
+    the LEFT HALF (10x20=200px) of its 20x20 bbox. Det A (score .9) has the
+    perfect BOX (IoU_box=1.0) but a full-box mask -> IoU_mask=200/400=0.5;
+    det B (score .8) has the perfect MASK (IoU_mask=1.0) but half the box
+    (IoU_box=0.5). segm: t=.50 A matches (0.5>=0.5), B is FP below it ->
+    AP@.50=1; t=.55...95 A is an FP ABOVE B's TP -> pr envelope 0.5 ->
+    AP_t=0.5. AP = (1 + 9*0.5)/10 = 0.55. bbox on the same preds: A is a
+    perfect TP at every t -> AP=1.0."""
+    ds = _Dataset({1: [gt(10, 10, 20, 20, area=200.0,
+                          segmentation=rect_poly(10, 10, 10, 20))]})
+    preds = {1: seg_dets([((10, 10, 20, 20), 0.9, None),
+                          ((10, 10, 10, 20), 0.8, None)])}
+    res = ev(ds, preds, "segm")
+    np.testing.assert_allclose(res["AP50"], 1.0)
+    np.testing.assert_allclose(res["AP75"], 0.5)
+    np.testing.assert_allclose(res["AP"], 0.55)
+    res_box = ev(ds, preds, "bbox")
+    np.testing.assert_allclose(res_box["AP"], 1.0)
+
+
+def test_segm_crowd_ignore_uses_mask_pixels():
+    """Crowd absorption is decided on MASK pixels with the inter/area_dt
+    rule: the det's 5x20=100px mask lies strictly inside the 10x20=200px
+    crowd mask -> crowd-IoU 100/100 = 1.0 at every t -> matched-ignored
+    (union IoU would be 0.5 and fail t>=.55). img2 supplies the only real
+    GT with an exact TP -> AP must be exactly 1.0. Control: same geometry
+    with iscrowd=0 -> at t>=.55 the inside-det is an FP above the TP:
+    n_gt=2, pr=[0,.5], rc=[0,.5] -> AP_t=51*.5/101; AP50 stays 1 (IoU .5
+    match) -> AP=(1+9*51*.5/101)/10."""
+    crowd = gt(10, 10, 10, 20, area=200.0, iscrowd=1,
+               segmentation=rect_poly(10, 10, 10, 20))
+    clean = gt(50, 50, 10, 10, area=100.0,
+               segmentation=rect_poly(50, 50, 10, 10))
+    preds = {1: seg_dets([((10, 10, 40, 20), 0.9, 5)]),
+             2: seg_dets([((50, 50, 10, 10), 0.8, None)])}
+    res = ev(_Dataset({1: [crowd], 2: [clean]}), preds, "segm")
+    np.testing.assert_allclose(res["AP"], 1.0)
+    np.testing.assert_allclose(res["AR100"], 1.0)
+
+    ctl = gt(10, 10, 10, 20, area=200.0,
+             segmentation=rect_poly(10, 10, 10, 20))
+    res2 = ev(_Dataset({1: [ctl], 2: [clean]}), preds, "segm")
+    np.testing.assert_allclose(res2["AP"], (1.0 + 9 * 51 * 0.5 / 101) / 10)
+
+
+def test_segm_det_area_is_mask_pixels_not_box():
+    """pycocotools loadRes sets a segm det's area from its mask
+    (maskUtils.area), not its box: an unmatched det with a 40x40=1600px BOX
+    but a 20x40=800px MASK is in-range for the small bucket (<=32^2) and
+    must count as an FP there -> APs=0.5 (FP ranked above img1's small TP,
+    n_gt_small=1). If the box area (1600, out of range) were used it would
+    be ignored and APs would wrongly be 1.0 — proven by the control where
+    the mask really is 1600px."""
+    small_gt = gt(10, 10, 20, 20, area=400.0,
+                  segmentation=rect_poly(10, 10, 20, 20))
+    ds = _Dataset({1: [small_gt], 2: []}, ids=[1, 2])
+    preds_small_mask = {1: seg_dets([((10, 10, 20, 20), 0.8, None)]),
+                        2: seg_dets([((30, 30, 40, 40), 0.9, 20)])}
+    res = ev(ds, preds_small_mask, "segm")
+    np.testing.assert_allclose(res["APs"], 0.5)
+
+    preds_big_mask = {1: seg_dets([((10, 10, 20, 20), 0.8, None)]),
+                      2: seg_dets([((30, 30, 40, 40), 0.9, None)])}
+    res2 = ev(ds, preds_big_mask, "segm")
+    np.testing.assert_allclose(res2["APs"], 1.0)
+
+
+def test_segm_empty_masks():
+    """Degenerate masks on both sides: a det whose probs are all below the
+    paste threshold has an EMPTY mask -> IoU 0 with everything -> plain FP;
+    a GT whose polygon is degenerate (<3 points) rasterizes empty -> it can
+    never be matched but still counts in n_gt (it is NOT auto-ignored) ->
+    permanent FN. Combined: dets sorted (empty-mask FP .9, TP .8), n_gt=2
+    -> tp=[0,1], fp=[1,1], rc=[0,.5], pr envelope .5 -> AP_t=51*.5/101."""
+    good = gt(10, 10, 20, 20, area=400.0,
+              segmentation=rect_poly(10, 10, 20, 20))
+    degenerate = gt(50, 50, 10, 10, area=100.0,
+                    segmentation=[[50.0, 50.0, 55.0, 50.0]])
+    preds = {1: seg_dets([((10, 10, 20, 20), 0.8, None),
+                          ((40, 40, 10, 10), 0.9, 0)])}
+    res = ev(_Dataset({1: [good, degenerate]}), preds, "segm")
+    np.testing.assert_allclose(res["AP"], 51 * 0.5 / 101)
+    np.testing.assert_allclose(res["AR100"], 0.5)
