@@ -116,3 +116,68 @@ def test_coco_demo_runs_on_image():
     assert out.shape == img.shape and out.dtype == np.uint8
     boxes, scores, labels = demo.compute_prediction(img)
     assert boxes.shape[1] == 4 and len(scores) == len(labels) == len(boxes)
+    # per-class colors follow the reference palette trick (predictor.py:257)
+    colors = demo.compute_colors_for_labels(np.array([1, 2]))
+    assert colors[0] != colors[1]
+
+
+def _tiny_demo_cfg():
+    from da_detect_tpu.config import get_cfg
+
+    cfg = get_cfg()
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.IMAGE_SHAPE = (64, 96)
+    cfg.INPUT.MIN_SIZE_TEST = 60
+    cfg.INPUT.MAX_SIZE_TEST = 96
+    cfg.MODEL.RPN.PRE_NMS_TOP_N_TEST = 100
+    cfg.MODEL.RPN.POST_NMS_TOP_N_TEST = 20
+    return cfg
+
+
+def test_coco_demo_mask_overlays_and_heatmap_montage():
+    """MASK_ON demo parity (reference demo/predictor.py:287-357): full-frame
+    pasted masks from compute_prediction, contour overlay, and the
+    probability-heatmap montage (COLORMAP_JET grid)."""
+    import numpy as np
+
+    from da_detect_tpu.demo.predictor import COCODemo
+
+    cfg = _tiny_demo_cfg()
+    cfg.MODEL.MASK_ON = True
+    demo = COCODemo(cfg, confidence_threshold=0.0)
+    img = (np.random.RandomState(1).rand(50, 70, 3) * 255).astype(np.uint8)
+    pred = demo.compute_prediction(img)
+    boxes, scores, labels, masks, probs = pred
+    assert masks.shape == (len(boxes), 50, 70) and masks.dtype == bool
+    assert probs.ndim == 3 and len(probs) == len(boxes)
+    out = demo.run_on_opencv_image(img)
+    assert out.shape == img.shape
+    heat = COCODemo(cfg, confidence_threshold=0.0, show_mask_heatmaps=True,
+                    masks_per_dim=2)
+    montage = heat.run_on_opencv_image(img)
+    hm, wm = probs.shape[-2:]
+    assert montage.shape == (2 * hm, 2 * wm, 3)  # JET colormap grid
+
+
+def test_coco_demo_keypoint_overlay():
+    """KEYPOINT_ON demo parity (reference vis_keypoints,
+    demo/predictor.py:389-447): decoded per-detection keypoints in original
+    coordinates + skeleton overlay."""
+    import numpy as np
+
+    from da_detect_tpu.demo.predictor import COCODemo
+
+    cfg = _tiny_demo_cfg()
+    cfg.MODEL.KEYPOINT_ON = True
+    demo = COCODemo(cfg, confidence_threshold=0.0)
+    img = (np.random.RandomState(2).rand(50, 70, 3) * 255).astype(np.uint8)
+    boxes, scores, labels, kps = demo.compute_prediction(img)
+    assert kps.shape[0] == len(boxes) and kps.shape[-1] == 3
+    assert kps.shape[1] == cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_CLASSES  # 17
+    # keypoints land inside the original frame
+    valid = kps[..., 2] > 0
+    if valid.any():
+        assert kps[..., 0][valid].max() <= 70 + 1e-3
+        assert kps[..., 1][valid].max() <= 50 + 1e-3
+    out = demo.run_on_opencv_image(img)
+    assert out.shape == img.shape
