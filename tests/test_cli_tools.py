@@ -72,6 +72,33 @@ def test_train_net_source_only_cli(tiny_data, tmp_path):
     assert (out / "run" / "last_checkpoint").exists()
 
 
+def test_quick_schedule_expected_results_gate(tiny_data, tmp_path):
+    """The quick-schedule integration gate, end-to-end through the CLI
+    (reference quick_schedules yamls + check_expected_results,
+    coco_eval.py:396-414 there): `train_net --config-file <quick yaml>`
+    trains, evaluates, and routes the results through
+    TEST.EXPECTED_RESULTS. The shipped window passes; a sabotaged window
+    must abort the run with the gate's AssertionError — proving the gate
+    itself is live, not just configured."""
+    from da_detect_tpu.tools import train_net
+
+    cfg_file = os.path.join(os.path.dirname(__file__), "..", "configs",
+                            "quick_schedules",
+                            "e2e_faster_rcnn_R_50_C4_tiny_gate.yaml")
+    out = tmp_path / "gate"
+    args = ["--config-file", cfg_file,
+            "MODEL.OUTPUT_DIR", str(out), "MODEL.OUTPUT_SAVE_NAME", "run"]
+    train_net.main(args)  # gate engaged (no --skip-test) and passes
+    assert (out / "run" / "last_checkpoint").exists()
+
+    # sabotage: an impossible window [4.6, 5.4] on the same trained run —
+    # training resumes at MAX_ITER (no-op) and goes straight to the gated
+    # eval, which must abort
+    with pytest.raises(AssertionError, match="bbox > AP50"):
+        train_net.main(args + [
+            "TEST.EXPECTED_RESULTS", "(('bbox', 'AP50', 5.0, 0.1),)"])
+
+
 def test_batch_mesh_divisibility_guard(tiny_data):
     """An indivisible batch/mesh combination must fail loudly at loader
     build time (reference asserts IMS_PER_BATCH % (2*num_gpus) == 0), not
