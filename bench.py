@@ -15,15 +15,26 @@ Besides the headline, the JSON line carries first-class chip-efficiency
 fields:
 * ``flops_per_step`` — XLA cost_analysis FLOPs of the compiled step;
 * ``peak_tflops_measured`` — this chip's bf16 matmul peak, measured inline
-  (4096^3 probe, same as scripts/bench_roofline.py) rather than datasheet;
+  (4096^3 probe, same as scripts/bench_roofline.py);
 * ``mfu`` — flops_per_step / (step_time * measured peak);
+* ``mfu_vs_datasheet`` — same numerator over the v5e datasheet 197 TF/s
+  bf16 peak (the honest-comparison twin of ``mfu``; PERFORMANCE.md:75-77);
+* ``pipeline_images_per_sec`` — the SYSTEM number: the real data/build.py
+  loader (png decode + native prep + fixed-shape batching on host threads)
+  feeding the same jitted step for ~200 steps, on cityscapes-sized
+  (1024x2048) synthetic images written to disk. Matches the reference's
+  data_time meter concept (engine/trainer.py:199,244-246 there);
+* ``inference_images_per_sec`` / ``inference_mfu`` — the eval forward at
+  the test canvas, batch 1 (the reference's 0.1713 s/im V100 anchor);
 * ``unaligned_images_per_sec`` / ``aligned_k8_images_per_sec`` — the
-  ALIGNMENT=False variant and the aligned k=8 (24-image) scaling row, so
-  round-over-round comparisons don't rename metrics.
+  ALIGNMENT=False variant and the aligned k=8 (24-image) scaling row;
+* ``share_pool_images_per_sec`` / ``share_pool_k8_images_per_sec`` — the
+  TPU.SHARE_POSITIVE_POOL variant (drops one of the three aligned re-pool
+  passes; loss-equivalence pinned by tests/test_model_build.py:122).
 
 Secondary metrics are budgeted: if the extra compiles would push total
-bench time past ~20 min they are skipped (reported as null) — the primary
-headline always prints.
+bench time past the budget they are skipped (reported as null) — the
+primary headline always prints.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -31,12 +42,15 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 from __future__ import annotations
 
 import json
+import os
+import tempfile
 import time
 
 import numpy as np
 
 BASELINE_IMG_PER_SEC = 2.48
-TIME_BUDGET_S = 20 * 60
+DATASHEET_TFLOPS = 197.0  # TPU v5e bf16 peak (PERFORMANCE.md:75-77)
+TIME_BUDGET_S = 26 * 60
 
 
 def _measure_step(step, state, sample, iters=20, warmup=3):
@@ -92,7 +106,7 @@ def _flops_of(jitted_step, args):
         return None
 
 
-def _build(cfg_kwargs, k, aligned):
+def _build(cfg_kwargs, k, aligned, share_pool=False):
     import jax
     from __graft_entry__ import _batch, _flagship_cfg
     from da_detect_tpu.engine.trainer import create_train_state, make_train_step
@@ -101,6 +115,7 @@ def _build(cfg_kwargs, k, aligned):
     cfg = _flagship_cfg(**cfg_kwargs)
     cfg.TPU.MAX_GT_BOXES = 64
     cfg.SOLVER.IMS_PER_BATCH = 2 * k
+    cfg.TPU.SHARE_POSITIVE_POOL = share_pool
     model = build_detection_model(cfg)
     sample = []
     for d, src in ((0, True), (1, False), (2, False)):
@@ -112,11 +127,103 @@ def _build(cfg_kwargs, k, aligned):
     return state, raw_step, tuple(sample)
 
 
+def _pipeline_rate(cfg_kwargs, k=1, steps=200, n_images=24,
+                   disk_hw=(1024, 2048), resize=(600, 1200), max_gt=64):
+    """SYSTEM throughput: the real host pipeline (png decode, native prep,
+    aligned-triplet batching, thread prefetch) feeding the jitted step.
+    Cityscapes-sized 1024x2048 images are written to disk so the host does
+    real decode work; the device program is identical to the headline's."""
+    import jax
+    from __graft_entry__ import _flagship_cfg
+    from da_detect_tpu.data import make_data_loader_da
+    from da_detect_tpu.engine.trainer import create_train_state, make_train_step
+    from da_detect_tpu.models import build_detection_model
+    from da_detect_tpu.tools.sanity_check import build_synthetic
+
+    root = tempfile.mkdtemp(prefix="dd_bench_data_")
+    build_synthetic(root, n_images, seed=0, hw=disk_hw)
+    prev_data_dir = os.environ.get("DA_DETECT_DATA_DIR")
+    os.environ["DA_DETECT_DATA_DIR"] = root
+    try:
+        cfg = _flagship_cfg(**cfg_kwargs)
+        cfg.TPU.MAX_GT_BOXES = max_gt
+        cfg.SOLVER.IMS_PER_BATCH = 2 * k
+        cfg.INPUT.MIN_SIZE_TRAIN = (resize[0],)
+        cfg.INPUT.MAX_SIZE_TRAIN = resize[1]
+        cfg.DATASETS.SOURCE_TRAIN = ("sanity_clean_cocostyle",)
+        cfg.DATASETS.TARGET_TRAIN = ("sanity_foggy_cocostyle",)
+        cfg.DATASETS.TARGET_TRAIN_negative = ("sanity_rainy_cocostyle",)
+        model = build_detection_model(cfg)
+        loader = make_data_loader_da(cfg, aligned=True, seed=0)
+        it = iter(loader)
+        sample = next(it)
+        import jax.random as jrandom
+        state, tx = create_train_state(cfg, model, jrandom.PRNGKey(0),
+                                       sample, "cosine")
+        step = make_train_step(model, tx, aligned=True)
+        state, m = step(state, *sample)  # compile
+        float(m["loss_total"])
+        for _ in range(5):  # warm the prefetch queue + steady state
+            state, m = step(state, *next(it))
+        float(m["loss_total"])
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, m = step(state, *next(it))
+        final = float(m["loss_total"])  # barrier inside the timed region
+        dt = (time.perf_counter() - t0) / steps
+        assert np.isfinite(final)
+        loader.close()
+        return 3 * k / dt
+    finally:
+        if prev_data_dir is None:
+            os.environ.pop("DA_DETECT_DATA_DIR", None)
+        else:
+            os.environ["DA_DETECT_DATA_DIR"] = prev_data_dir
+
+
+def _inference_rate(cfg_kwargs):
+    """Eval forward at the test canvas, batch 1 (reference V100 anchor is
+    0.1713 s/im, MODEL_ZOO.md:21). Returns (images/s, flops or None)."""
+    import jax
+    from __graft_entry__ import _batch, _flagship_cfg
+    from da_detect_tpu.models import build_detection_model
+
+    cfg = _flagship_cfg(**cfg_kwargs)
+    model = build_detection_model(cfg)
+    batch, _ = _batch(cfg, 1)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch)
+    fwd = jax.jit(lambda v, b: model.apply(v, b))
+    flops = None
+    try:
+        ca = fwd.lower(variables, batch).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca["flops"])
+    except Exception:
+        pass
+    out = fwd(variables, batch)
+    jax.block_until_ready(out)
+    for _ in range(5):
+        out = fwd(variables, batch)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    iters = 50
+    for _ in range(iters):
+        out = fwd(variables, batch)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    return 1.0 / dt, flops, dt
+
+
 def main():
     from da_detect_tpu.utils.env import setup_environment
     setup_environment()
 
     t_start = time.perf_counter()
+
+    def budget_left():
+        return time.perf_counter() - t_start < TIME_BUDGET_S
+
     cfg_kwargs = dict(canvas=(608, 1216),
                       train_tops=(12000, 2000), test_tops=(6000, 1000))
 
@@ -134,11 +241,19 @@ def main():
         "unit": "images/s/chip",
         "vs_baseline": round(images_per_sec / BASELINE_IMG_PER_SEC, 3),
         "step_ms": round(dt * 1e3, 2),
+        # flops is independent of the peak probe — record it unconditionally
+        "flops_per_step": flops,
         "mfu": None,
-        "flops_per_step": None,
+        "mfu_vs_datasheet": (round(flops / (dt * DATASHEET_TFLOPS * 1e12), 4)
+                             if flops else None),
         "peak_tflops_measured": None,
+        "pipeline_images_per_sec": None,
+        "inference_images_per_sec": None,
+        "inference_mfu": None,
         "unaligned_images_per_sec": None,
         "aligned_k8_images_per_sec": None,
+        "share_pool_images_per_sec": None,
+        "share_pool_k8_images_per_sec": None,
     }
 
     # chip efficiency: measured peak + compiled-step FLOPs -> MFU
@@ -146,26 +261,46 @@ def main():
         peak = _measured_peak_tflops()
         out["peak_tflops_measured"] = round(peak, 1)
         if flops:
-            out["flops_per_step"] = flops
             out["mfu"] = round(flops / (dt * peak * 1e12), 4)
+    except Exception:
+        peak = None
+
+    # the SYSTEM number: loader-fed sustained throughput (same device
+    # program as the headline; any gap is host-pipeline overhead)
+    try:
+        if budget_left():
+            out["pipeline_images_per_sec"] = round(
+                _pipeline_rate(cfg_kwargs, k=1), 3)
+    except Exception:
+        pass
+
+    # inference path (cheap compile): images/s + its own MFU
+    try:
+        if budget_left():
+            inf_rate, inf_flops, inf_dt = _inference_rate(cfg_kwargs)
+            out["inference_images_per_sec"] = round(inf_rate, 3)
+            if inf_flops and peak:
+                out["inference_mfu"] = round(
+                    inf_flops / (inf_dt * peak * 1e12), 4)
     except Exception:
         pass
 
     # scaling rows (budgeted: each is an extra full-step compile)
-    try:
-        if time.perf_counter() - t_start < TIME_BUDGET_S:
-            st_u, step_u, sample_u = _build(cfg_kwargs, k=1, aligned=False)
-            dt_u = _measure_step(step_u, st_u, sample_u)
-            out["unaligned_images_per_sec"] = round(3 / dt_u, 3)
-    except Exception:
-        pass
-    try:
-        if time.perf_counter() - t_start < TIME_BUDGET_S:
-            st_8, step_8, sample_8 = _build(cfg_kwargs, k=8, aligned=True)
-            dt_8 = _measure_step(step_8, st_8, sample_8, iters=8, warmup=2)
-            out["aligned_k8_images_per_sec"] = round(24 / dt_8, 3)
-    except Exception:
-        pass
+    for key, kwargs, n_img, iters in (
+            ("aligned_k8_images_per_sec", dict(k=8, aligned=True), 24, 8),
+            ("share_pool_k8_images_per_sec",
+             dict(k=8, aligned=True, share_pool=True), 24, 8),
+            ("share_pool_images_per_sec",
+             dict(k=1, aligned=True, share_pool=True), 3, 20),
+            ("unaligned_images_per_sec", dict(k=1, aligned=False), 3, 20),
+    ):
+        try:
+            if budget_left():
+                st, stp, smp = _build(cfg_kwargs, **kwargs)
+                dt_x = _measure_step(stp, st, smp, iters=iters, warmup=2)
+                out[key] = round(n_img / dt_x, 3)
+        except Exception:
+            pass
 
     print(json.dumps(out))
 

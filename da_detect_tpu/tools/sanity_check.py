@@ -20,12 +20,13 @@ import time
 
 
 def build_synthetic(root: str, n_images: int, seed: int,
-                    fog=(0.55, 110.0)):
+                    fog=(0.55, 110.0), hw=(120, 160)):
     """Noise images with solid rectangles at the GT boxes; foggy/rainy are
     pixel-aligned degradations (see tests/data_factory for the test twin).
     ``fog`` = (contrast, offset) of the target-domain degradation; the
     ablation gate uses a much stronger fog so the domain shift measurably
-    hurts a source-only model."""
+    hurts a source-only model. ``hw`` sets the on-disk image size (bench.py
+    uses cityscapes-sized 1024x2048 so the host decode+prep cost is real)."""
     import numpy as np
     try:
         import cv2
@@ -33,7 +34,7 @@ def build_synthetic(root: str, n_images: int, seed: int,
         raise SystemExit("sanity_check needs cv2") from e
 
     rng = np.random.RandomState(seed)
-    h, w = 120, 160
+    h, w = hw
     dirs = {k: os.path.join(root, k) for k in ("clean", "foggy", "rainy")}
     fog_a, fog_b = fog
     for d in dirs.values():
@@ -43,7 +44,8 @@ def build_synthetic(root: str, n_images: int, seed: int,
     for i in range(n_images):
         img = rng.randint(0, 60, (h, w, 3), dtype=np.uint8)
         for _ in range(int(rng.randint(1, 4))):
-            bw, bh = (int(v) for v in rng.randint(15, 40, 2))
+            # box size scales with the canvas (15-40 px at the 120x160 base)
+            bw, bh = (int(v) for v in rng.randint(h // 8, h // 3, 2))
             x1 = int(rng.randint(0, w - bw - 1))
             y1 = int(rng.randint(0, h - bh - 1))
             lab = int(rng.randint(1, 3))
