@@ -141,7 +141,10 @@ def _pipeline_rate(cfg_kwargs, k=1, steps=200, n_images=24,
     from da_detect_tpu.tools.sanity_check import build_synthetic
 
     root = tempfile.mkdtemp(prefix="dd_bench_data_")
-    build_synthetic(root, n_images, seed=0, hw=disk_hw)
+    # "natural" texture: PNGs compress like real Cityscapes leftImg8bit
+    # files (~1 byte/px) instead of raw iid noise (~2.4 byte/px) — the host
+    # decode work should match real data, not a pathological worst case
+    build_synthetic(root, n_images, seed=0, hw=disk_hw, texture="natural")
     prev_data_dir = os.environ.get("DA_DETECT_DATA_DIR")
     os.environ["DA_DETECT_DATA_DIR"] = root
     try:
@@ -154,14 +157,18 @@ def _pipeline_rate(cfg_kwargs, k=1, steps=200, n_images=24,
         cfg.DATASETS.TARGET_TRAIN = ("sanity_foggy_cocostyle",)
         cfg.DATASETS.TARGET_TRAIN_negative = ("sanity_rainy_cocostyle",)
         model = build_detection_model(cfg)
-        loader = make_data_loader_da(cfg, aligned=True, seed=0)
+        # the production host-feed transport: packed single-transfer batches
+        # (TPU.PACKED_TRANSPORT; see data/packing.py) — one device_put per
+        # step from the prefetch thread instead of one per input leaf
+        loader = make_data_loader_da(cfg, aligned=True, seed=0, packed=True)
         it = iter(loader)
-        sample = next(it)
+        buf, packer = next(it)
         import jax.random as jrandom
+        init_args = packer.unpack_np(np.asarray(jax.device_get(buf)))
         state, tx = create_train_state(cfg, model, jrandom.PRNGKey(0),
-                                       sample, "cosine")
-        step = make_train_step(model, tx, aligned=True)
-        state, m = step(state, *sample)  # compile
+                                       init_args, "cosine")
+        step = make_train_step(model, tx, aligned=True, packed=True)
+        state, m = step(state, buf, packer)  # compile
         float(m["loss_total"])
         for _ in range(5):  # warm the prefetch queue + steady state
             state, m = step(state, *next(it))

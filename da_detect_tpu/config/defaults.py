@@ -381,6 +381,13 @@ _C.TPU.APPROX_TOPK = True
 _C.TPU.ROI_MAX_SAMPLES = 8
 # Host data pipeline prefetch depth (device buffers).
 _C.TPU.PREFETCH = 2
+# Single-transfer batch transport (data/packing.py): pack each step's whole
+# input pytree into one buffer and ship it with one device_put from the
+# prefetch thread. On relayed/remote chips the per-transfer round-trip
+# (~23 ms measured) otherwise multiplies by the ~21 input leaves and
+# dominates the 64 ms step. Applies to single-process single-device
+# host-feed training; sharded meshes keep the per-leaf sharded puts.
+_C.TPU.PACKED_TRANSPORT = True
 
 _C.TENSORBOARD_EXPERIMENT = "logs/da_detect_tpu"
 _C.PATHS_CATALOG = ""

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Sequence
 
 import jax
@@ -27,6 +28,7 @@ from ..config.catalog import DatasetCatalog
 from ..parallel import put_batch
 from ..structures.image_batch import ImageBatch, Targets
 from . import datasets as D
+from .packing import BatchPacker
 from .transforms import (apply_geometry, canvas_for, compute_resize_hw,
                          load_image_bgr, normalize_and_pad,
                          rasterize_polygons, transform_boxes)
@@ -181,13 +183,16 @@ class _Prefetcher:
 
     Done-flag protocol (no in-band sentinel: a full queue at generator end
     would drop it); bounded puts so close() can always stop the producer and
-    release the queued device buffers.
+    release the queued device buffers. ``pool`` (optional) is a decode
+    worker pool owned by the loader; close() shuts it down.
     """
 
-    def __init__(self, gen_fn, depth: int = 2):
+    def __init__(self, gen_fn, depth: int = 2,
+                 pool: ThreadPoolExecutor | None = None):
         self.q: queue.Queue = queue.Queue(maxsize=depth)
         self._stop = False
         self._done = False
+        self._pool = pool
 
         def run():
             try:
@@ -231,6 +236,27 @@ class _Prefetcher:
             except queue.Empty:
                 break
         self.t.join(timeout=2.0)
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+
+
+def _make_pool(cfg) -> ThreadPoolExecutor | None:
+    """Decode/prep worker pool sized by DATALOADER.NUM_WORKERS (the
+    reference's torch DataLoader worker count, reference defaults.py).
+    cv2 decode and the native prep release the GIL, so threads scale the
+    per-image work across host cores; 0/1 keeps the serial path."""
+    n = int(cfg.DATALOADER.NUM_WORKERS)
+    return ThreadPoolExecutor(max_workers=n) if n > 1 else None
+
+
+def _run_jobs(pool, proc, jobs):
+    """jobs: (sample_or_None, params, canvas) in deterministic order —
+    params are drawn in the generator thread BEFORE submission, so worker
+    scheduling cannot perturb the augmentation stream."""
+    if pool is None:
+        return [proc(s, p, c) if s is not None else None for s, p, c in jobs]
+    return list(pool.map(
+        lambda j: proc(j[0], j[1], j[2]) if j[0] is not None else None, jobs))
 
 
 def _check_batch_sharding(batch_size: int, sharding, what: str) -> None:
@@ -252,10 +278,18 @@ def make_data_loader(cfg, *, is_train: bool, dataset_names=None,
                      with_keypoints: bool = False,
                      shuffle: bool | None = None, seed: int = 0,
                      infinite: bool | None = None, sharding=None,
-                     hflip: bool = False):
+                     hflip: bool = False, packed: bool = False):
     """Single-domain loader. Train: yields (ImageBatch, Targets);
     eval: yields (ImageBatch, image_ids). ``hflip`` forces a deterministic
-    flip on every image (the TTA flip pass)."""
+    flip on every image (the TTA flip pass).
+
+    ``packed`` (train only, host-feed/no sharding): yield
+    (packed_buffer_on_device, BatchPacker) instead — the whole step input
+    crosses host->device as ONE transfer (see data/packing.py; on relayed
+    chips the per-transfer round-trip otherwise dominates the step)."""
+    if packed and (sharding is not None or not is_train):
+        raise ValueError("packed transport is train-time single-device "
+                         "host-feed only")
     if dataset_names is None:
         dataset_names = cfg.DATASETS.TRAIN if is_train else cfg.DATASETS.TEST
     dataset = build_dataset(dataset_names, is_train, is_source)
@@ -312,18 +346,24 @@ def make_data_loader(cfg, *, is_train: bool, dataset_names=None,
                                          pad_to=batch_size)
                 break
 
+    pool = _make_pool(cfg)
+
     def _emit(indices, portrait, pad_to=None):
         rng = np.random.RandomState(hash((seed, tuple(indices))) % (2 ** 31))
-        processed, ids = [], []
+        jobs, ids = [], []
         for idx in indices:
             s = dataset.sample(idx)
-            canvas = proc.canvas_hw(s)
-            processed.append(proc(s, proc.draw_params(rng), canvas))
+            jobs.append((s, proc.draw_params(rng), proc.canvas_hw(s)))
             ids.append(s["image_id"])
+        processed = _run_jobs(pool, proc, jobs)
         while pad_to and len(processed) < pad_to:
             processed.append(processed[-1])
             ids.append(None)
         batch, targets = _stack(processed, with_masks, with_keypoints)
+        if packed:
+            packer = BatchPacker((batch, targets))
+            yield jax.device_put(packer.pack((batch, targets))), packer
+            return
         batch = put_batch(batch, sharding)
         targets = put_batch(targets, sharding)
         if is_train:
@@ -331,14 +371,20 @@ def make_data_loader(cfg, *, is_train: bool, dataset_names=None,
         else:
             yield batch, ids
 
-    return _Prefetcher(generate, depth=cfg.TPU.PREFETCH), dataset
+    return _Prefetcher(generate, depth=cfg.TPU.PREFETCH, pool=pool), dataset
 
 
 def make_data_loader_da(cfg, *, aligned: bool = True, seed: int = 0,
-                        sharding=None):
+                        sharding=None, packed: bool = False):
     """Triplet loader: yields (batch_s, targets_s, batch_t, targets_t,
     batch_n, targets_n) with per-device batch k = IMS_PER_BATCH // 2
-    (reference halves the batch for DA, build.py:241-246)."""
+    (reference halves the batch for DA, build.py:241-246).
+
+    ``packed`` (host-feed/no sharding only): yield (packed_buffer_on_device,
+    BatchPacker) — the whole 6-pytree step input as ONE host->device
+    transfer (data/packing.py)."""
+    if packed and sharding is not None:
+        raise ValueError("packed transport is single-device host-feed only")
     ds_s = build_dataset(cfg.DATASETS.SOURCE_TRAIN, True, True)
     ds_p = build_dataset(cfg.DATASETS.TARGET_TRAIN, True, False)
     ds_n = build_dataset(cfg.DATASETS.TARGET_TRAIN_negative, True, False) \
@@ -352,6 +398,8 @@ def make_data_loader_da(cfg, *, aligned: bool = True, seed: int = 0,
     if aligned:
         n = min(n, len(ds_p), *( [len(ds_n)] if ds_n else [] ))
 
+    pool = _make_pool(cfg)
+
     def generate():
         epoch = 0
         while True:
@@ -359,7 +407,7 @@ def make_data_loader_da(cfg, *, aligned: bool = True, seed: int = 0,
             order = rng.permutation(n)
             order = order[jax.process_index()::jax.process_count()]
             for i in range(0, len(order) - k + 1, k):
-                triples = []
+                jobs = []
                 for idx in order[i:i + k]:
                     s = ds_s.sample(int(idx))
                     if aligned:
@@ -379,19 +427,25 @@ def make_data_loader_da(cfg, *, aligned: bool = True, seed: int = 0,
                             other["width"] = s["width"]
                     params = proc.draw_params(rng)  # shared geometry
                     canvas = proc.canvas_hw(s)
-                    triples.append(tuple(
-                        proc(x, params, canvas) if x is not None else None
-                        for x in (s, p, g)))
+                    jobs += [(x, params, canvas) for x in (s, p, g)]
+                results = _run_jobs(pool, proc, jobs)
+                triples = [tuple(results[j:j + 3])
+                           for j in range(0, len(results), 3)]
                 out = []
                 for d in range(3 if ds_n else 2):
                     items = [t[d] for t in triples]
                     if items[0] is None:
                         continue
                     b, tg = _stack(items, False)
-                    b = put_batch(b, sharding)
-                    tg = put_batch(tg, sharding)
+                    if not packed:
+                        b = put_batch(b, sharding)
+                        tg = put_batch(tg, sharding)
                     out += [b, tg]
-                yield tuple(out)
+                if packed:
+                    packer = BatchPacker(tuple(out))
+                    yield jax.device_put(packer.pack(tuple(out))), packer
+                else:
+                    yield tuple(out)
             epoch += 1
 
-    return _Prefetcher(generate, depth=cfg.TPU.PREFETCH)
+    return _Prefetcher(generate, depth=cfg.TPU.PREFETCH, pool=pool)

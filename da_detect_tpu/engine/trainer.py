@@ -68,11 +68,18 @@ def create_train_state(cfg, model, rng, sample_args: tuple,
 
 def make_train_step(model, tx, *, aligned: bool = False,
                     donate: bool = True,
-                    deterministic: bool = False) -> Callable:
+                    deterministic: bool = False,
+                    packed: bool = False) -> Callable:
     """Returns jitted step(state, *batch_args) -> (state, metrics).
 
     ``deterministic`` disables dropout (eval-mode DAInsHead) — used by the
-    reference-anchored trajectory parity tests; production leaves it off."""
+    reference-anchored trajectory parity tests; production leaves it off.
+
+    ``packed``: the step takes (state, packed_buffer, packer) — the
+    single-transfer transport produced by packed loaders (data/packing.py);
+    the buffer is unpacked on device at the top of the program. ``packer``
+    is a static argument, so each batch layout (e.g. the two orientation
+    canvas buckets) compiles its own program instead of mis-slicing."""
 
     def step_fn(state: TrainState, batch_s, targets_s, batch_t=None,
                 targets_t=None, batch_n=None, targets_n=None):
@@ -102,6 +109,11 @@ def make_train_step(model, tx, *, aligned: bool = False,
         metrics["loss_total"] = total
         return new_state, metrics
 
+    if packed:
+        def packed_step_fn(state, buf, packer):
+            return step_fn(state, *packer.unpack(buf))
+        return jax.jit(packed_step_fn, static_argnums=(2,),
+                       donate_argnums=(0, 1) if donate else ())
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
@@ -111,14 +123,14 @@ def do_train(cfg, model, state, tx, data_iter, *, max_iter: int,
              eval_fn: Callable | None = None, log_period: int = 20,
              profile_dir: str | None = None,
              profile_range: tuple[int, int] = (10, 20),
-             test_period: int = 0):
+             test_period: int = 0, packed: bool = False):
     """Host-side loop (reference do_da_train trainer.py:150-336): batches in,
     metrics/checkpoints/eval out. ``data_iter`` yields tuples matching
     train_forward's signature (already device-sharded). ``profile_dir``
     captures a jax.profiler trace over ``profile_range`` iterations
     (the reference has only wall-clock meters — SURVEY §5.1)."""
     meters = meters or MetricLogger()
-    train_step = make_train_step(model, tx, aligned=aligned)
+    train_step = make_train_step(model, tx, aligned=aligned, packed=packed)
     log.info("start training at iteration %d", start_iter)
     start = time.perf_counter()
     last = start

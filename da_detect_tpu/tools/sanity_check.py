@@ -20,13 +20,18 @@ import time
 
 
 def build_synthetic(root: str, n_images: int, seed: int,
-                    fog=(0.55, 110.0), hw=(120, 160)):
+                    fog=(0.55, 110.0), hw=(120, 160), texture="noise"):
     """Noise images with solid rectangles at the GT boxes; foggy/rainy are
     pixel-aligned degradations (see tests/data_factory for the test twin).
     ``fog`` = (contrast, offset) of the target-domain degradation; the
     ablation gate uses a much stronger fog so the domain shift measurably
     hurts a source-only model. ``hw`` sets the on-disk image size (bench.py
-    uses cityscapes-sized 1024x2048 so the host decode+prep cost is real)."""
+    uses cityscapes-sized 1024x2048 so the host decode+prep cost is real).
+    ``texture="natural"`` makes the background spatially correlated (coarse
+    field upsampled + mild fine noise) so the PNGs compress like real
+    photographs (~1 byte/px, matching real Cityscapes leftImg8bit files)
+    instead of raw iid noise (~2.4 byte/px, which made the bench decode
+    pathologically slow); the training gates keep the default texture."""
     import numpy as np
     try:
         import cv2
@@ -42,7 +47,14 @@ def build_synthetic(root: str, n_images: int, seed: int,
     images, annotations = [], []
     ann_id = 1
     for i in range(n_images):
-        img = rng.randint(0, 60, (h, w, 3), dtype=np.uint8)
+        if texture == "natural":
+            coarse = rng.randint(0, 60, (h // 8 + 1, w // 8 + 1, 3),
+                                 dtype=np.uint8)
+            img = cv2.resize(coarse, (w, h), interpolation=cv2.INTER_LINEAR)
+            img = (img.astype(np.int16)
+                   + rng.randint(-3, 4, (h, w, 3))).clip(0, 59).astype(np.uint8)
+        else:
+            img = rng.randint(0, 60, (h, w, 3), dtype=np.uint8)
         for _ in range(int(rng.randint(1, 4))):
             # box size scales with the canvas (15-40 px at the 120x160 base)
             bw, bh = (int(v) for v in rng.randint(h // 8, h // 3, 2))
@@ -130,14 +142,27 @@ def train_and_eval(cfg, da: bool, iters: int, logger, seed: int = 0,
     from ..models import build_detection_model
 
     model = build_detection_model(cfg)
+    # single-transfer transport (data/packing.py): on the relayed bench chip
+    # each device_put costs a ~23 ms round-trip, so ship each step's whole
+    # input pytree as one buffer when host-feeding a single device
+    packed = (bool(cfg.TPU.PACKED_TRANSPORT) and jax.device_count() == 1
+              and jax.process_count() == 1)
     if da:
-        loader = make_data_loader_da(cfg, aligned=True, seed=seed)
+        loader = make_data_loader_da(cfg, aligned=True, seed=seed,
+                                     packed=packed)
     else:
-        loader, _ = make_data_loader(cfg, is_train=True, seed=seed)
+        loader, _ = make_data_loader(cfg, is_train=True, seed=seed,
+                                     packed=packed)
     it = iter(loader)
     sample = next(it)
+    if packed:
+        import numpy as np
+        buf, packer = sample
+        init_args = packer.unpack_np(np.asarray(jax.device_get(buf)))
+    else:
+        init_args = sample
     state, tx = create_train_state(cfg, model, jax.random.PRNGKey(seed),
-                                   sample, "cosine" if da else "multistep")
+                                   init_args, "cosine" if da else "multistep")
 
     def chained():
         yield sample
@@ -145,7 +170,7 @@ def train_and_eval(cfg, da: bool, iters: int, logger, seed: int = 0,
 
     t0 = time.perf_counter()
     state = do_train(cfg, model, state, tx, chained(), max_iter=iters,
-                     log_period=max(iters // 4, 1), aligned=da)
+                     log_period=max(iters // 4, 1), aligned=da, packed=packed)
     logger.info("%d iters in %.0fs", iters, time.perf_counter() - t0)
     loader.close()
 

@@ -21,20 +21,33 @@ def run_training(cfg, logger, *, mode: str, schedule_kind: str,
     sharding = batch_sharding(mesh)
     model = build_detection_model(cfg)
 
+    # single-transfer transport (data/packing.py) on single-device host
+    # feed: one device_put per step instead of one per input leaf
+    packed = (bool(cfg.TPU.PACKED_TRANSPORT) and jax.device_count() == 1
+              and jax.process_count() == 1)
+    feed_sharding = None if packed else sharding
+
     if mode == "source_only":
-        loader, _ = make_data_loader(cfg, is_train=True, sharding=sharding,
+        loader, _ = make_data_loader(cfg, is_train=True,
+                                     sharding=feed_sharding,
                                      with_masks=cfg.MODEL.MASK_ON,
                                      with_keypoints=cfg.MODEL.KEYPOINT_ON,
-                                     seed=seed)
+                                     seed=seed, packed=packed)
         data_iter = iter(loader)
     else:
         aligned = cfg.MODEL.DA_HEADS.ALIGNMENT
         data_iter = iter(make_data_loader_da(cfg, aligned=aligned, seed=seed,
-                                             sharding=sharding))
+                                             sharding=feed_sharding,
+                                             packed=packed))
 
     sample = next(data_iter)
+    if packed:
+        buf, packer = sample
+        init_args = packer.unpack_np(np.asarray(jax.device_get(buf)))
+    else:
+        init_args = sample
     state, tx = create_train_state(cfg, model, jax.random.PRNGKey(seed),
-                                   sample, schedule_kind)
+                                   init_args, schedule_kind)
 
     checkpointer = Checkpointer(cfg.MODEL.OUTPUT_DIR,
                                 save_to_disk=jax.process_index() == 0)
@@ -78,7 +91,7 @@ def run_training(cfg, logger, *, mode: str, schedule_kind: str,
         checkpoint_period=cfg.SOLVER.CHECKPOINT_PERIOD, meters=meters,
         aligned=(mode != "source_only" and cfg.MODEL.DA_HEADS.ALIGNMENT),
         eval_fn=eval_fn, profile_dir=profile_dir or None,
-        test_period=cfg.SOLVER.TEST_PERIOD)
+        test_period=cfg.SOLVER.TEST_PERIOD, packed=packed)
 
     if not skip_test and cfg.DATASETS.TEST:
         run_eval(cfg, logger, model, state, sharding)
