@@ -46,22 +46,29 @@ def _cost(jitted_step, args):
 
 
 def _measured_hbm_gbps():
-    """Triad probe for the achievable HBM bandwidth (scripts/bench_roofline)."""
+    """Streaming-bandwidth probe. Measured by SLOPE between two rep counts
+    so the relay's fixed per-dispatch round-trip (~ms, larger than the
+    kernel itself at these sizes) cancels out; a naive reps=8 probe on the
+    tunneled chip reports ~100 GB/s for this reason."""
     import jax
     import jax.numpy as jnp
-    n = 64 * 1024 * 1024  # 256 MB f32
+    n = 128 * 1024 * 1024  # 512 MB f32: 1 GB read+write per rep
     x = jnp.zeros((n,), jnp.float32)
 
     f = jax.jit(lambda x: x * 1.000001 + 0.5)
-    y = f(x)
-    jax.block_until_ready(y)
-    t0 = time.perf_counter()
-    reps = 8
-    for _ in range(reps):
-        y = f(y)
-    jax.block_until_ready(y)
-    dt = (time.perf_counter() - t0) / reps
-    return 2 * 4 * n / dt / 1e9  # read + write
+    jax.block_until_ready(f(x))
+
+    def run(reps):
+        y = x
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            y = f(y)
+        jax.block_until_ready(y)
+        return time.perf_counter() - t0
+
+    run(4)  # steady-state
+    t_lo, t_hi = run(8), run(72)
+    return 2 * 4 * n * (72 - 8) / (t_hi - t_lo) / 1e9  # read + write
 
 
 def main():
