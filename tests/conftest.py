@@ -34,3 +34,47 @@ jax.config.update("jax_default_matmul_precision", "highest")
 from da_detect_tpu.utils.env import setup_environment  # noqa: E402
 
 setup_environment()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def flagship_tiny_sharded():
+    """Shared stack for the sharded-equivalence tests (test_multichip_step,
+    test_tensor_parallel, test_spatial_partition): ONE model + init and ONE
+    single-device baseline step on the shared batch (8 triples), so each
+    test pays only its own sharded compile instead of re-initializing and
+    re-deriving the same baseline (was: 3 inits + 3 identical n1 steps)."""
+    import __graft_entry__ as entry
+    import numpy as np
+    from da_detect_tpu.engine.trainer import create_train_state, make_train_step
+    from da_detect_tpu.models import build_detection_model
+    from da_detect_tpu.parallel import data_sharding, make_mesh, replicate
+
+    cfg = entry._flagship_cfg(canvas=(64, 96), train_tops=(64, 16))
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.MAX_GT_BOXES = 8
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 16
+    cfg.SOLVER.IMS_PER_BATCH = 16
+    model = build_detection_model(cfg)
+
+    host_sample = []
+    for d, src in ((0, True), (1, False), (2, False)):
+        b, t = entry._batch(cfg, 8, seed=d, is_source=src)
+        host_sample += [b, t]
+    host_sample = tuple(host_sample)
+
+    state, tx = create_train_state(cfg, model, jax.random.PRNGKey(0),
+                                   host_sample, "cosine")
+    step = make_train_step(model, tx, aligned=True, donate=False)
+
+    mesh1 = make_mesh(1)
+    sample1 = tuple(jax.device_put(a, data_sharding(mesh1))
+                    for a in host_sample)
+    st1 = replicate(state, mesh1)
+    new_state, metrics = step(st1, *sample1)
+    metrics = jax.device_get(metrics)
+    assert np.isfinite(metrics["loss_total"]), metrics
+    baseline = (jax.device_get(new_state.params), metrics)
+    return dict(cfg=cfg, model=model, host_sample=host_sample, state=state,
+                step=step, baseline=baseline)

@@ -230,9 +230,18 @@ def test_da_ablation_direction(tmp_path):
     synthetic domain shift, triplet-DA training must beat source-only on the
     target domain by a clear margin (the synthetic proxy of the reference's
     23.41 -> 42.34 ablation ladder, README.md:153-159 there; the adaptive
-    margin mechanism itself is pinned in tests/test_da_margin.py)."""
+    margin mechanism itself is pinned in tests/test_da_margin.py).
+
+    The shift is STRUCTURAL (channel-inverted target domain, see
+    build_synthetic): an affine fog is mostly absorbed by the GN-normalized
+    backbone (source-only kept AP50 0.61 under a=0.25 fog, leaving the gap
+    thinner than trajectory chaos — it once flipped from 0.11 to 0.047 on a
+    legitimate bias-schedule parity fix). Calibrated at 200 iters:
+    source-only 0.013 vs DA 0.405 (gap 0.39); the 0.2 gate leaves ~2x
+    headroom for chaotic trajectory jitter while staying 4x stronger than
+    the old 0.05 gate."""
     from da_detect_tpu.tools import sanity_check
 
     # must not raise SystemExit: the tool gates internally on gap + margin
-    sanity_check.main(["--ablation", "--iters", "300",
+    sanity_check.main(["--ablation", "--iters", "200", "--min-gap", "0.2",
                        "--data-dir", str(tmp_path / "abl")])

@@ -32,39 +32,27 @@ def _tiny_cfg(n):
     return cfg
 
 
-def test_sharded_step_matches_single_device():
+def test_sharded_step_matches_single_device(flagship_tiny_sharded):
     n = len(jax.devices())
     assert n == 8, "conftest should provide 8 virtual CPU devices"
-    cfg = _tiny_cfg(n)
-    model = build_detection_model(cfg)
+    fx = flagship_tiny_sharded
+    host_sample, state, step = fx["host_sample"], fx["state"], fx["step"]
 
-    host_sample = []
-    for d, src in ((0, True), (1, False), (2, False)):
-        b, t = entry._batch(cfg, n, seed=d, is_source=src)
-        host_sample += [b, t]
-    host_sample = tuple(host_sample)
+    mesh = make_mesh(8)
+    sharding = data_sharding(mesh)
+    sample = tuple(jax.device_put(a, sharding) for a in host_sample)
+    st = replicate(state, mesh)
+    new_state, metrics = step(st, *sample)
+    metrics8 = jax.device_get(metrics)
+    assert np.isfinite(metrics8["loss_total"]), metrics8
+    assert metrics8["loss_total"] > 0
+    # the triplet path must produce every DA loss component
+    for k in ("loss_da_image", "loss_da_instance", "loss_da_consistency",
+              "triplet_loss_image", "triplet_loss_instance"):
+        assert k in metrics8, f"missing {k}"
+    params8 = jax.device_get(new_state.params)
 
-    state, tx = create_train_state(cfg, model, jax.random.PRNGKey(0),
-                                   host_sample, "cosine")
-    step = make_train_step(model, tx, aligned=True, donate=False)
-
-    results = {}
-    for label, mesh in (("n8", make_mesh(8)), ("n1", make_mesh(1))):
-        sharding = data_sharding(mesh)
-        sample = tuple(jax.device_put(a, sharding) for a in host_sample)
-        st = replicate(state, mesh)
-        new_state, metrics = step(st, *sample)
-        metrics = jax.device_get(metrics)
-        assert np.isfinite(metrics["loss_total"]), metrics
-        assert metrics["loss_total"] > 0
-        # the triplet path must produce every DA loss component
-        for k in ("loss_da_image", "loss_da_instance", "loss_da_consistency",
-                  "triplet_loss_image", "triplet_loss_instance"):
-            assert k in metrics, f"missing {k}"
-        results[label] = (jax.device_get(new_state.params), metrics)
-
-    params8, metrics8 = results["n8"]
-    params1, metrics1 = results["n1"]
+    params1, metrics1 = fx["baseline"]  # shared n1 run of the same batch
     for k in metrics1:
         np.testing.assert_allclose(metrics8[k], metrics1[k], rtol=1e-4,
                                    atol=1e-6, err_msg=f"loss {k} diverges")

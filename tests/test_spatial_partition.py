@@ -13,8 +13,6 @@ import numpy as np
 import pytest
 
 import __graft_entry__ as entry
-from da_detect_tpu.engine.trainer import create_train_state, make_train_step
-from da_detect_tpu.models import build_detection_model
 from da_detect_tpu.parallel import (batch_sharding, make_mesh, put_batch,
                                     replicate, shard_batch)
 
@@ -48,14 +46,14 @@ def test_make_mesh_spatial_validation():
 
 
 @pytest.mark.slow  # two full-step compiles, minutes on 1 CPU core
-def test_spatial_step_matches_single_device():
+def test_spatial_step_matches_single_device(flagship_tiny_sharded):
     n = len(jax.devices())
     assert n == 8, "conftest should provide 8 virtual CPU devices"
-    cfg = entry._flagship_cfg(canvas=(64, 96), train_tops=(64, 16))
-    cfg.TPU.COMPUTE_DTYPE = "float32"
-    cfg.TPU.MAX_GT_BOXES = 8
-    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 16
-    model = build_detection_model(cfg)
+    # same model/init/step as the other sharded-equivalence tests (shared
+    # session fixture; params are batch-size-agnostic) — only the batch is
+    # smaller here so the (data=2, space=4) mesh divides it
+    fx = flagship_tiny_sharded
+    cfg, state, step = fx["cfg"], fx["state"], fx["step"]
 
     k = 2  # triples: data axis 2, space axis 4
     host_sample = []
@@ -63,10 +61,6 @@ def test_spatial_step_matches_single_device():
         b, t = entry._batch(cfg, k, seed=d, is_source=src)
         host_sample += [b, t]
     host_sample = tuple(host_sample)
-
-    state, tx = create_train_state(cfg, model, jax.random.PRNGKey(0),
-                                   host_sample, "cosine")
-    step = make_train_step(model, tx, aligned=True, donate=False)
 
     results = {}
     for label, mesh in (("dp2xsp4", make_mesh(8, spatial=4)),

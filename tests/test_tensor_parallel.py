@@ -15,67 +15,48 @@ import numpy as np
 import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-import __graft_entry__ as entry
-from da_detect_tpu.engine.trainer import create_train_state, make_train_step
-from da_detect_tpu.models import build_detection_model
-from da_detect_tpu.parallel import (make_mesh, model_axis_size, replicate,
+from da_detect_tpu.parallel import (make_mesh, model_axis_size,
                                     shard_batch, shard_model)
 
 pytestmark = pytest.mark.slow  # two full-step compiles, minutes on 1 CPU core
 
 
-def test_model_sharded_step_matches_data_parallel():
+def test_model_sharded_step_matches_data_parallel(flagship_tiny_sharded):
     n = len(jax.devices())
     assert n == 8, "conftest should provide 8 virtual CPU devices"
-    cfg = entry._flagship_cfg(canvas=(64, 96), train_tops=(64, 16))
-    cfg.TPU.COMPUTE_DTYPE = "float32"
-    cfg.TPU.MAX_GT_BOXES = 8
-    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 16
-    cfg.SOLVER.IMS_PER_BATCH = 2 * n
-    model = build_detection_model(cfg)
+    fx = flagship_tiny_sharded
+    host_sample, state, step = fx["host_sample"], fx["state"], fx["step"]
 
-    host_sample = []
-    for d, src in ((0, True), (1, False), (2, False)):
-        b, t = entry._batch(cfg, n, seed=d, is_source=src)
-        host_sample += [b, t]
-    host_sample = tuple(host_sample)
+    mesh = make_mesh(8, model=2)
+    sample = shard_batch(host_sample, mesh)
+    assert model_axis_size(mesh) > 1
+    st = shard_model(state, mesh)
 
-    state, tx = create_train_state(cfg, model, jax.random.PRNGKey(0),
-                                   host_sample, "cosine")
-    step = make_train_step(model, tx, aligned=True, donate=False)
+    # the placement must actually shard the wide channel axes —
+    # otherwise this test silently degrades to plain dp
+    def on_model(leaf):
+        return (isinstance(leaf.sharding, NamedSharding)
+                and "model" in tuple(leaf.sharding.spec))
 
-    results = {}
-    for label, mesh in (("dp4_tp2", make_mesh(8, model=2)),
-                        ("n1", make_mesh(1))):
-        sample = shard_batch(host_sample, mesh)
-        st = (shard_model(state, mesh) if model_axis_size(mesh) > 1
-              else replicate(state, mesh))
-        if label == "dp4_tp2":
-            # the placement must actually shard the wide channel axes —
-            # otherwise this test silently degrades to plain dp
-            def on_model(leaf):
-                return (isinstance(leaf.sharding, NamedSharding)
-                        and "model" in tuple(leaf.sharding.spec))
+    sharded = [
+        (jax.tree_util.keystr(path), leaf)
+        for path, leaf in jax.tree_util.tree_leaves_with_path(st.params)
+        if on_model(leaf)
+    ]
+    assert len(sharded) > 10, "shard_model left everything replicated"
+    for _, leaf in sharded:
+        assert leaf.shape[-1] % 2 == 0 and leaf.shape[-1] >= 256
+    narrow = [p for p, l in
+              jax.tree_util.tree_leaves_with_path(st.params)
+              if l.ndim >= 1 and l.shape[-1] < 256 and on_model(l)]
+    assert not narrow, f"narrow axes must stay replicated: {narrow}"
 
-            sharded = [
-                (jax.tree_util.keystr(path), leaf)
-                for path, leaf in jax.tree_util.tree_leaves_with_path(st.params)
-                if on_model(leaf)
-            ]
-            assert len(sharded) > 10, "shard_model left everything replicated"
-            for _, leaf in sharded:
-                assert leaf.shape[-1] % 2 == 0 and leaf.shape[-1] >= 256
-            narrow = [p for p, l in
-                      jax.tree_util.tree_leaves_with_path(st.params)
-                      if l.ndim >= 1 and l.shape[-1] < 256 and on_model(l)]
-            assert not narrow, f"narrow axes must stay replicated: {narrow}"
-        new_state, metrics = step(st, *sample)
-        metrics = jax.device_get(metrics)
-        assert np.isfinite(metrics["loss_total"]), metrics
-        results[label] = (jax.device_get(new_state.params), metrics)
+    new_state, metrics = step(st, *sample)
+    metrics_tp = jax.device_get(metrics)
+    assert np.isfinite(metrics_tp["loss_total"]), metrics_tp
+    params_tp = jax.device_get(new_state.params)
 
-    params_tp, metrics_tp = results["dp4_tp2"]
-    params_1, metrics_1 = results["n1"]
+    params_1, metrics_1 = fx["baseline"]  # shared n1 run of the same batch
     for k in metrics_1:
         np.testing.assert_allclose(
             metrics_tp[k], metrics_1[k], rtol=1e-3, atol=1e-5,
