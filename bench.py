@@ -32,9 +32,12 @@ fields:
   TPU.SHARE_POSITIVE_POOL variant (drops one of the three aligned re-pool
   passes; loss-equivalence pinned by tests/test_model_build.py:122).
 
-Secondary metrics are budgeted: if the extra compiles would push total
-bench time past the budget they are skipped (reported as null) — the
-primary headline always prints.
+Secondary metrics are budgeted: each section declares an expected cost and
+is skipped up front (reported as null) if it would push total bench time
+past the budget (``BENCH_TIME_BUDGET_S``, default 26 min) — the primary
+headline always prints. Section start times go to stderr. Once the
+headline is measured, SIGTERM/SIGALRM flush the JSON line with whatever
+has been measured so far, so an external timeout can never erase the run.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -43,6 +46,8 @@ from __future__ import annotations
 
 import json
 import os
+import signal
+import sys
 import tempfile
 import time
 
@@ -50,7 +55,15 @@ import numpy as np
 
 BASELINE_IMG_PER_SEC = 2.48
 DATASHEET_TFLOPS = 197.0  # TPU v5e bf16 peak (PERFORMANCE.md:75-77)
-TIME_BUDGET_S = 26 * 60
+TIME_BUDGET_S = int(os.environ.get("BENCH_TIME_BUDGET_S", 26 * 60))
+
+_T0 = time.perf_counter()
+
+
+def _mark(msg):
+    """Section timestamps on stderr (progress + post-mortem attribution)."""
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 
 def _measure_step(step, state, sample, iters=20, warmup=3):
@@ -228,19 +241,26 @@ def main():
 
     t_start = time.perf_counter()
 
-    def budget_left():
-        return time.perf_counter() - t_start < TIME_BUDGET_S
+    def budget_left(need_s=0.0):
+        """True if a section expected to take ``need_s`` still fits the
+        budget. Sections are SKIPPED up front rather than started late:
+        a cold full-step compile over the relay can run many minutes, so
+        an in-progress section can overshoot any budget check that only
+        looks at elapsed time."""
+        return time.perf_counter() - t_start + need_s < TIME_BUDGET_S
 
     cfg_kwargs = dict(canvas=(608, 1216),
                       train_tops=(12000, 2000), test_tops=(6000, 1000))
 
     # headline: aligned, k=1 (the parity config)
+    _mark("build+compile headline (aligned k=1)")
     state, step, sample = _build(cfg_kwargs, k=1, aligned=True)
     # FLOPs read off the lowered step BEFORE running it (running donates
     # the state buffers; lowering shares the jit executable cache)
     flops = _flops_of(step, (state,) + sample)
     dt = _measure_step(step, state, sample)
     images_per_sec = 3 / dt
+    _mark(f"headline done: {3 / dt:.2f} img/s")
 
     out = {
         "metric": "da_triplet_aligned_train_images_per_sec",
@@ -263,8 +283,21 @@ def main():
         "share_pool_k8_images_per_sec": None,
     }
 
+    # From here on the headline is in hand: if an external timeout kills
+    # us (SIGTERM/SIGALRM) mid-section, flush the JSON measured so far —
+    # the driver must always receive the line.
+    def _flush_and_exit(signum, frame):
+        _mark(f"signal {signum}: flushing partial JSON")
+        print(json.dumps(out), flush=True)
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _flush_and_exit)
+    signal.signal(signal.SIGALRM, _flush_and_exit)
+    signal.alarm(max(60, TIME_BUDGET_S + 8 * 60))  # hard backstop
+
     # chip efficiency: measured peak + compiled-step FLOPs -> MFU
     try:
+        _mark("peak probe")
         peak = _measured_peak_tflops()
         out["peak_tflops_measured"] = round(peak, 1)
         if flops:
@@ -273,9 +306,11 @@ def main():
         peak = None
 
     # the SYSTEM number: loader-fed sustained throughput (same device
-    # program as the headline; any gap is host-pipeline overhead)
+    # program as the headline; any gap is host-pipeline overhead).
+    # need_s: packed-variant step compile (cold) + data gen + 200 steps.
     try:
-        if budget_left():
+        if budget_left(360):
+            _mark("pipeline (loader-fed) section")
             out["pipeline_images_per_sec"] = round(
                 _pipeline_rate(cfg_kwargs, k=1), 3)
     except Exception:
@@ -283,7 +318,8 @@ def main():
 
     # inference path (cheap compile): images/s + its own MFU
     try:
-        if budget_left():
+        if budget_left(120):
+            _mark("inference section")
             inf_rate, inf_flops, inf_dt = _inference_rate(cfg_kwargs)
             out["inference_images_per_sec"] = round(inf_rate, 3)
             if inf_flops and peak:
@@ -292,7 +328,8 @@ def main():
     except Exception:
         pass
 
-    # scaling rows (budgeted: each is an extra full-step compile)
+    # scaling rows (budgeted: each is an extra full-step compile; cold
+    # compiles over the relay run ~3-5 min, so each row must leave room)
     for key, kwargs, n_img, iters in (
             ("aligned_k8_images_per_sec", dict(k=8, aligned=True), 24, 8),
             ("share_pool_k8_images_per_sec",
@@ -302,13 +339,16 @@ def main():
             ("unaligned_images_per_sec", dict(k=1, aligned=False), 3, 20),
     ):
         try:
-            if budget_left():
+            if budget_left(300):
+                _mark(f"scaling row {key}")
                 st, stp, smp = _build(cfg_kwargs, **kwargs)
                 dt_x = _measure_step(stp, st, smp, iters=iters, warmup=2)
                 out[key] = round(n_img / dt_x, 3)
         except Exception:
             pass
 
+    _mark("done")
+    signal.alarm(0)
     print(json.dumps(out))
 
 
