@@ -64,6 +64,18 @@ _C.DATALOADER = CN()
 _C.DATALOADER.NUM_WORKERS = 4
 _C.DATALOADER.SIZE_DIVISIBILITY = 0
 _C.DATALOADER.ASPECT_RATIO_GROUPING = True
+# Prepped-canvas staging cache (data/staging.py): persist each image's
+# post-prep canvas keyed by (file identity, geometry); epochs >= 2 skip PNG
+# decode + resize/normalize entirely. The decode is the host-feed
+# bottleneck on small hosts (BENCH_r04: loader-fed ran at ~10% of the
+# device-resident step on a 1-core VM). STAGE_DIR "" = a shared per-host
+# temp directory. STAGE_DTYPE float32 (default) makes hits BIT-EXACT with
+# the cold decode path; float16 halves the disk/read bytes at a rounding
+# error (<= 0.0625 on BGR255-mean canvases) strictly below the bf16
+# compute rounding.
+_C.DATALOADER.STAGE_CACHE = True
+_C.DATALOADER.STAGE_DIR = ""
+_C.DATALOADER.STAGE_DTYPE = "float32"
 
 # ---------------------------------------------------------------------------
 # Backbone

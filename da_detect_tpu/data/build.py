@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
+from collections import defaultdict
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Sequence
 
@@ -29,6 +31,7 @@ from ..parallel import put_batch
 from ..structures.image_batch import ImageBatch, Targets
 from . import datasets as D
 from .packing import BatchPacker
+from .staging import make_stage_cache
 from .transforms import (apply_geometry, canvas_for, compute_resize_hw,
                          load_image_bgr, normalize_and_pad,
                          rasterize_polygons, transform_boxes)
@@ -68,6 +71,13 @@ class _SampleProcessor:
     def __init__(self, cfg, is_train: bool, with_masks: bool = False,
                  mask_resolution: int = 112, with_keypoints: bool = False):
         self.is_train = is_train
+        # prepped-canvas staging cache (data/staging.py): decode each
+        # (image, geometry) once, epochs >= 2 read the post-prep canvas
+        self.stage = make_stage_cache(cfg)
+        # host-budget itemization (seconds, accumulated across workers;
+        # read via loader.stats — PERFORMANCE.md quotes these per step)
+        self.stats: dict[str, float] = defaultdict(float)
+        self._stats_lock = threading.Lock()
         self.min_sizes = (tuple(cfg.INPUT.MIN_SIZE_TRAIN) if is_train
                           else (cfg.INPUT.MIN_SIZE_TEST,))
         self.max_size = (cfg.INPUT.MAX_SIZE_TRAIN if is_train
@@ -93,23 +103,56 @@ class _SampleProcessor:
                 else self.canvas
         return self.canvas
 
+    def _tick(self, key: str, t0: float):
+        with self._stats_lock:
+            self.stats[key] += time.perf_counter() - t0
+
     def __call__(self, sample, params, canvas_hw):
-        img = load_image_bgr(sample["path"])
         orig_boxes = sample["boxes"]
-        h, w = img.shape[:2]
-        rh, rw = compute_resize_hw(h, w, params["min_size"], self.max_size)
-        if _HAVE_NATIVE_PREP:
-            boxes = transform_boxes(sample["boxes"], h, w, rh, rw,
-                                    params["hflip"])
-            img = _native.prep_image(img, canvas_hw, (rh, rw),
-                                     self.pixel_mean, self.pixel_std,
-                                     self.to_bgr255, params["hflip"])
-        else:
-            img, boxes, (rh, rw) = apply_geometry(
-                img, sample["boxes"], min_size=params["min_size"],
-                max_size=self.max_size, hflip=params["hflip"])
-            img = normalize_and_pad(img, canvas_hw, self.pixel_mean,
-                                    self.to_bgr255, self.pixel_std)
+        # everything that affects the prepped pixels goes into the cache key
+        stage_key = (params["min_size"], self.max_size,
+                     bool(params["hflip"]), tuple(canvas_hw),
+                     self.pixel_mean, self.pixel_std, self.to_bgr255)
+        mh, mw = int(sample["height"]), int(sample["width"])
+        img = None
+        if self.stage is not None:
+            t0 = time.perf_counter()
+            img = self.stage.get(sample["path"], stage_key)
+            self._tick("stage_read_s", t0)
+            if img is not None:
+                # hit: geometry from annotation metadata, no decode
+                rh, rw = compute_resize_hw(mh, mw, params["min_size"],
+                                           self.max_size)
+                boxes = transform_boxes(sample["boxes"], mh, mw, rh, rw,
+                                        params["hflip"])
+        if img is None:
+            t0 = time.perf_counter()
+            raw = load_image_bgr(sample["path"])
+            self._tick("decode_s", t0)
+            h, w = raw.shape[:2]
+            t0 = time.perf_counter()
+            rh, rw = compute_resize_hw(h, w, params["min_size"],
+                                       self.max_size)
+            if _HAVE_NATIVE_PREP:
+                boxes = transform_boxes(sample["boxes"], h, w, rh, rw,
+                                        params["hflip"])
+                img = _native.prep_image(raw, canvas_hw, (rh, rw),
+                                         self.pixel_mean, self.pixel_std,
+                                         self.to_bgr255, params["hflip"])
+            else:
+                img, boxes, (rh, rw) = apply_geometry(
+                    raw, sample["boxes"], min_size=params["min_size"],
+                    max_size=self.max_size, hflip=params["hflip"])
+                img = normalize_and_pad(img, canvas_hw, self.pixel_mean,
+                                        self.to_bgr255, self.pixel_std)
+            self._tick("prep_s", t0)
+            # only stage when the file agrees with the annotation metadata
+            # (hits derive geometry from metadata; a mismatching file must
+            # never produce a canvas its hit path would mis-box)
+            if self.stage is not None and (h, w) == (mh, mw):
+                t0 = time.perf_counter()
+                self.stage.put(sample["path"], stage_key, img)
+                self._tick("stage_write_s", t0)
         g = self.max_gt
         n = min(len(boxes), g)
         pb = np.zeros((g, 4), np.float32)
@@ -188,11 +231,12 @@ class _Prefetcher:
     """
 
     def __init__(self, gen_fn, depth: int = 2,
-                 pool: ThreadPoolExecutor | None = None):
+                 pool: ThreadPoolExecutor | None = None, proc=None):
         self.q: queue.Queue = queue.Queue(maxsize=depth)
         self._stop = False
         self._done = False
         self._pool = pool
+        self._proc = proc
 
         def run():
             try:
@@ -226,6 +270,21 @@ class _Prefetcher:
                     raise StopIteration
                 if self._stop:
                     raise StopIteration
+
+    @property
+    def stats(self) -> dict:
+        """Accumulated host-budget itemization (seconds per stage since the
+        loader started, summed across workers): decode_s / prep_s /
+        stage_read_s / stage_write_s / stack_s / pack_s / put_s, plus
+        staging hit/miss counts. ``put_s`` times the device_put *dispatch*
+        (the transfer itself overlaps the device step)."""
+        if self._proc is None:
+            return {}
+        s = dict(self._proc.stats)
+        if self._proc.stage is not None:
+            s["stage_hits"] = self._proc.stage.hits
+            s["stage_misses"] = self._proc.stage.misses
+        return s
 
     def close(self):
         """Stop the producer and release queued (device) buffers."""
@@ -359,19 +418,30 @@ def make_data_loader(cfg, *, is_train: bool, dataset_names=None,
         while pad_to and len(processed) < pad_to:
             processed.append(processed[-1])
             ids.append(None)
+        t0 = time.perf_counter()
         batch, targets = _stack(processed, with_masks, with_keypoints)
+        proc._tick("stack_s", t0)
         if packed:
+            t0 = time.perf_counter()
             packer = BatchPacker((batch, targets))
-            yield jax.device_put(packer.pack((batch, targets))), packer
+            buf = packer.pack((batch, targets))
+            proc._tick("pack_s", t0)
+            t0 = time.perf_counter()
+            dev = jax.device_put(buf)
+            proc._tick("put_s", t0)
+            yield dev, packer
             return
+        t0 = time.perf_counter()
         batch = put_batch(batch, sharding)
         targets = put_batch(targets, sharding)
+        proc._tick("put_s", t0)
         if is_train:
             yield batch, targets
         else:
             yield batch, ids
 
-    return _Prefetcher(generate, depth=cfg.TPU.PREFETCH, pool=pool), dataset
+    return _Prefetcher(generate, depth=cfg.TPU.PREFETCH, pool=pool,
+                       proc=proc), dataset
 
 
 def make_data_loader_da(cfg, *, aligned: bool = True, seed: int = 0,
@@ -432,6 +502,7 @@ def make_data_loader_da(cfg, *, aligned: bool = True, seed: int = 0,
                 triples = [tuple(results[j:j + 3])
                            for j in range(0, len(results), 3)]
                 out = []
+                t0 = time.perf_counter()
                 for d in range(3 if ds_n else 2):
                     items = [t[d] for t in triples]
                     if items[0] is None:
@@ -441,11 +512,19 @@ def make_data_loader_da(cfg, *, aligned: bool = True, seed: int = 0,
                         b = put_batch(b, sharding)
                         tg = put_batch(tg, sharding)
                     out += [b, tg]
+                proc._tick("stack_s" if packed else "stack_put_s", t0)
                 if packed:
+                    t0 = time.perf_counter()
                     packer = BatchPacker(tuple(out))
-                    yield jax.device_put(packer.pack(tuple(out))), packer
+                    buf = packer.pack(tuple(out))
+                    proc._tick("pack_s", t0)
+                    t0 = time.perf_counter()
+                    dev = jax.device_put(buf)
+                    proc._tick("put_s", t0)
+                    yield dev, packer
                 else:
                     yield tuple(out)
             epoch += 1
 
-    return _Prefetcher(generate, depth=cfg.TPU.PREFETCH, pool=pool)
+    return _Prefetcher(generate, depth=cfg.TPU.PREFETCH, pool=pool,
+                       proc=proc)

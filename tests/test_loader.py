@@ -163,3 +163,106 @@ def test_list_dataset_drives_coco_demo(tmp_path):
         assert bgr.shape[:2] == (s["height"], s["width"])
         out = demo.run_on_opencv_image(bgr)
         assert out.shape == bgr.shape and out.dtype == np.uint8
+
+
+# ---------------------------------------------------------------------------
+# Prepped-canvas staging cache (data/staging.py)
+# ---------------------------------------------------------------------------
+
+def _epoch_batches(cfg, seed=0):
+    loader, _ = make_data_loader(cfg, is_train=True,
+                                 dataset_names=("mixed_cocostyle",),
+                                 seed=seed, infinite=False)
+    out = [(np.asarray(b.images), np.asarray(t.boxes), np.asarray(t.labels))
+           for b, t in loader]
+    stats = loader.stats
+    loader.close()
+    return out, stats
+
+
+def test_stage_cache_warm_epoch_bit_exact(mixed_orientation_data, tmp_path):
+    """float32 staging (the default): a warm epoch's batches are
+    bit-identical to the cold epoch's, decode is skipped on every hit."""
+    cfg = _cfg()
+    cfg.DATALOADER.STAGE_DIR = str(tmp_path / "stage")
+    cold, s_cold = _epoch_batches(cfg)
+    assert s_cold["stage_hits"] == 0 and s_cold["stage_misses"] > 0
+    warm, s_warm = _epoch_batches(cfg)
+    assert s_warm["stage_misses"] == 0 and s_warm["stage_hits"] > 0
+    assert "decode_s" not in s_warm  # no image was decoded
+    assert len(cold) == len(warm)
+    for (ci, cb, cl), (wi, wb, wl) in zip(cold, warm):
+        np.testing.assert_array_equal(ci, wi)
+        np.testing.assert_array_equal(cb, wb)
+        np.testing.assert_array_equal(cl, wl)
+
+
+def test_stage_cache_f16_within_compute_rounding(mixed_orientation_data,
+                                                 tmp_path):
+    """float16 staging: warm canvases match cold within the documented
+    bound (0.0625 absolute on BGR255-mean values), boxes exactly."""
+    cfg = _cfg()
+    cfg.DATALOADER.STAGE_DIR = str(tmp_path / "stage16")
+    cfg.DATALOADER.STAGE_DTYPE = "float16"
+    cold, _ = _epoch_batches(cfg)
+    warm, s_warm = _epoch_batches(cfg)
+    assert s_warm["stage_misses"] == 0
+    for (ci, cb, _), (wi, wb, _) in zip(cold, warm):
+        np.testing.assert_allclose(wi, ci, atol=0.0625, rtol=0)
+        np.testing.assert_array_equal(cb, wb)
+
+
+def test_stage_cache_keys_on_geometry(mixed_orientation_data, tmp_path):
+    """The cache must never serve a flipped canvas for an unflipped draw:
+    force-flip and no-flip epochs over the same staged directory both
+    reproduce their own cold results."""
+    cfg = _cfg()
+    cfg.DATALOADER.STAGE_DIR = str(tmp_path / "stage_geo")
+
+    def epoch(flip):
+        loader, _ = make_data_loader(cfg, is_train=True,
+                                     dataset_names=("mixed_cocostyle",),
+                                     seed=0, infinite=False, hflip=flip)
+        out = [(np.asarray(b.images), np.asarray(t.boxes)) for b, t in loader]
+        loader.close()
+        return out
+
+    cold_noflip = epoch(False)
+    cold_flip = epoch(True)
+    warm_noflip = epoch(False)
+    warm_flip = epoch(True)
+    for cold, warm in ((cold_noflip, warm_noflip), (cold_flip, warm_flip)):
+        for (ci, cb), (wi, wb) in zip(cold, warm):
+            np.testing.assert_array_equal(ci, wi)
+            np.testing.assert_array_equal(cb, wb)
+    # and the two geometries genuinely differ
+    assert not np.array_equal(cold_noflip[0][0], cold_flip[0][0])
+
+
+def test_stage_cache_corrupt_entry_is_a_miss(mixed_orientation_data,
+                                             tmp_path):
+    """A torn/corrupt cache file must cost a re-decode, never an error or
+    a wrong batch."""
+    import glob
+    cfg = _cfg()
+    stage = str(tmp_path / "stage_bad")
+    cfg.DATALOADER.STAGE_DIR = stage
+    cold, _ = _epoch_batches(cfg)
+    files = glob.glob(os.path.join(stage, "*", "*.npy"))
+    assert files
+    for f in files[:2]:
+        with open(f, "wb") as fh:
+            fh.write(b"\x93NUMPY garbage")
+    warm, s = _epoch_batches(cfg)
+    assert s["stage_misses"] > 0  # the corrupt entries fell back
+    for (ci, cb, _), (wi, wb, _) in zip(cold, warm):
+        np.testing.assert_array_equal(ci, wi)
+
+
+def test_stage_cache_disabled_keeps_decoding(mixed_orientation_data,
+                                             tmp_path):
+    cfg = _cfg()
+    cfg.DATALOADER.STAGE_CACHE = False
+    _, s1 = _epoch_batches(cfg)
+    _, s2 = _epoch_batches(cfg)
+    assert "stage_hits" not in s2 and s2["decode_s"] > 0
