@@ -6,31 +6,37 @@ step = 3 images) on the attached TPU chip, against the reference anchor of
 2.48 images/s/GPU (V100 Faster R-CNN R-50-C4 train, 0.4036 s/iter at
 1 im/GPU — MODEL_ZOO.md:21; see BASELINE.md).
 
-The measured step is the REFERENCE-EXACT WACV method: ALIGNMENT=True
-(tools/train_net_triplet.py:118-179 / generalized_rcnn.py:104-114 there),
-i.e. the aligned instance-triplet re-pools the positive slice's proposals
-from all three domains' features each step.
+The measured step is the WACV ALIGNMENT=True method
+(tools/train_net_triplet.py:118-179 / generalized_rcnn.py:104-114 there)
+at the production default config — TPU.SHARE_POSITIVE_POOL on, which
+replaces one of the three aligned re-pool passes with the detection pass's
+pooled target features (distribution-equivalent; gate:
+tests/test_model_build.py:122). ``aligned_noshare_images_per_sec`` is the
+reference-exact independent-draw variant (the r01-r04 headline config).
 
 Besides the headline, the JSON line carries first-class chip-efficiency
-fields:
+and SYSTEM fields:
 * ``flops_per_step`` — XLA cost_analysis FLOPs of the compiled step;
 * ``peak_tflops_measured`` — this chip's bf16 matmul peak, measured inline
   (4096^3 probe, same as scripts/bench_roofline.py);
 * ``mfu`` — flops_per_step / (step_time * measured peak);
 * ``mfu_vs_datasheet`` — same numerator over the v5e datasheet 197 TF/s
   bf16 peak (the honest-comparison twin of ``mfu``; PERFORMANCE.md:75-77);
-* ``pipeline_images_per_sec`` — the SYSTEM number: the real data/build.py
-  loader (png decode + native prep + fixed-shape batching on host threads)
-  feeding the same jitted step for ~200 steps, on cityscapes-sized
-  (1024x2048) synthetic images written to disk. Matches the reference's
-  data_time meter concept (engine/trainer.py:199,244-246 there);
-* ``inference_images_per_sec`` / ``inference_mfu`` — the eval forward at
-  the test canvas, batch 1 (the reference's 0.1713 s/im V100 anchor);
+* ``pipeline_images_per_sec`` (cold) / ``pipeline_warm_images_per_sec`` —
+  the SYSTEM numbers: the real data/build.py loader feeding the same
+  jitted step on cityscapes-sized (1024x2048) synthetic PNGs on disk.
+  Cold decodes + preps every image every step (the reference's every-epoch
+  behavior, its data_time meter — engine/trainer.py:199,244-246 there);
+  warm reads the pre-staged prepped-canvas cache (data/staging.py,
+  tools/stage_dataset.py). ``pipeline_{cold,warm}_host_ms`` itemize the
+  producer-thread budget per step (decode/prep/stage/stack/pack/put);
+* ``inference_images_per_sec`` / ``inference_mfu`` — device-resident eval
+  forward at the test canvas, batch 1 (reference anchor 0.1713 s/im);
+* ``inference_pipeline_{,warm_}images_per_sec`` — the loader-fed eval
+  SYSTEM numbers (decode -> forward -> unpad/rescale, the span the
+  reference times at engine/inference.py:104-110 there);
 * ``unaligned_images_per_sec`` / ``aligned_k8_images_per_sec`` — the
-  ALIGNMENT=False variant and the aligned k=8 (24-image) scaling row;
-* ``share_pool_images_per_sec`` / ``share_pool_k8_images_per_sec`` — the
-  TPU.SHARE_POSITIVE_POOL variant (drops one of the three aligned re-pool
-  passes; loss-equivalence pinned by tests/test_model_build.py:122).
+  ALIGNMENT=False variant and the aligned k=8 (24-image) scaling row.
 
 Secondary metrics are budgeted: each section declares an expected cost and
 is skipped up front (reported as null) if it would push total bench time
@@ -119,7 +125,7 @@ def _flops_of(jitted_step, args):
         return None
 
 
-def _build(cfg_kwargs, k, aligned, share_pool=False):
+def _build(cfg_kwargs, k, aligned, share_pool=None):
     import jax
     from __graft_entry__ import _batch, _flagship_cfg
     from da_detect_tpu.engine.trainer import create_train_state, make_train_step
@@ -128,7 +134,8 @@ def _build(cfg_kwargs, k, aligned, share_pool=False):
     cfg = _flagship_cfg(**cfg_kwargs)
     cfg.TPU.MAX_GT_BOXES = 64
     cfg.SOLVER.IMS_PER_BATCH = 2 * k
-    cfg.TPU.SHARE_POSITIVE_POOL = share_pool
+    if share_pool is not None:  # None = production default (True under
+        cfg.TPU.SHARE_POSITIVE_POOL = share_pool  # the aligned path)
     model = build_detection_model(cfg)
     sample = []
     for d, src in ((0, True), (1, False), (2, False)):
@@ -140,17 +147,23 @@ def _build(cfg_kwargs, k, aligned, share_pool=False):
     return state, raw_step, tuple(sample)
 
 
-def _pipeline_rate(cfg_kwargs, k=1, steps=200, n_images=24,
-                   disk_hw=(1024, 2048), resize=(600, 1200), max_gt=64):
-    """SYSTEM throughput: the real host pipeline (png decode, native prep,
-    aligned-triplet batching, thread prefetch) feeding the jitted step.
-    Cityscapes-sized 1024x2048 images are written to disk so the host does
-    real decode work; the device program is identical to the headline's."""
-    import jax
+def _host_ms(stats: dict) -> dict:
+    """loader.stats -> per-step host milliseconds, itemized."""
+    n = max(stats.get("batches", 0), 1)
+    out = {k[:-2] + "_ms": round(1e3 * v / n, 1)
+           for k, v in stats.items() if k.endswith("_s")}
+    for k in ("stage_hits", "stage_misses"):
+        if k in stats:
+            out[k] = stats[k]
+    return out
+
+
+def _bench_data_cfg(cfg_kwargs, k, n_images, disk_hw, resize, max_gt):
+    """Synthetic cityscapes-sized dataset on disk + the flagship train cfg
+    pointed at it. Returns (cfg, restore_fn)."""
+    import os as _os
+
     from __graft_entry__ import _flagship_cfg
-    from da_detect_tpu.data import make_data_loader_da
-    from da_detect_tpu.engine.trainer import create_train_state, make_train_step
-    from da_detect_tpu.models import build_detection_model
     from da_detect_tpu.tools.sanity_check import build_synthetic
 
     root = tempfile.mkdtemp(prefix="dd_bench_data_")
@@ -158,47 +171,143 @@ def _pipeline_rate(cfg_kwargs, k=1, steps=200, n_images=24,
     # files (~1 byte/px) instead of raw iid noise (~2.4 byte/px) — the host
     # decode work should match real data, not a pathological worst case
     build_synthetic(root, n_images, seed=0, hw=disk_hw, texture="natural")
-    prev_data_dir = os.environ.get("DA_DETECT_DATA_DIR")
-    os.environ["DA_DETECT_DATA_DIR"] = root
-    try:
-        cfg = _flagship_cfg(**cfg_kwargs)
-        cfg.TPU.MAX_GT_BOXES = max_gt
-        cfg.SOLVER.IMS_PER_BATCH = 2 * k
-        cfg.INPUT.MIN_SIZE_TRAIN = (resize[0],)
-        cfg.INPUT.MAX_SIZE_TRAIN = resize[1]
-        cfg.DATASETS.SOURCE_TRAIN = ("sanity_clean_cocostyle",)
-        cfg.DATASETS.TARGET_TRAIN = ("sanity_foggy_cocostyle",)
-        cfg.DATASETS.TARGET_TRAIN_negative = ("sanity_rainy_cocostyle",)
-        model = build_detection_model(cfg)
-        # the production host-feed transport: packed single-transfer batches
-        # (TPU.PACKED_TRANSPORT; see data/packing.py) — one device_put per
-        # step from the prefetch thread instead of one per input leaf
-        loader = make_data_loader_da(cfg, aligned=True, seed=0, packed=True)
-        it = iter(loader)
-        buf, packer = next(it)
-        import jax.random as jrandom
-        init_args = packer.unpack_np(np.asarray(jax.device_get(buf)))
-        state, tx = create_train_state(cfg, model, jrandom.PRNGKey(0),
-                                       init_args, "cosine")
-        step = make_train_step(model, tx, aligned=True, packed=True)
-        state, m = step(state, buf, packer)  # compile
-        float(m["loss_total"])
-        for _ in range(5):  # warm the prefetch queue + steady state
-            state, m = step(state, *next(it))
-        float(m["loss_total"])
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            state, m = step(state, *next(it))
-        final = float(m["loss_total"])  # barrier inside the timed region
-        dt = (time.perf_counter() - t0) / steps
-        assert np.isfinite(final)
-        loader.close()
-        return 3 * k / dt
-    finally:
-        if prev_data_dir is None:
-            os.environ.pop("DA_DETECT_DATA_DIR", None)
+    prev = _os.environ.get("DA_DETECT_DATA_DIR")
+    _os.environ["DA_DETECT_DATA_DIR"] = root
+
+    def restore():
+        if prev is None:
+            _os.environ.pop("DA_DETECT_DATA_DIR", None)
         else:
-            os.environ["DA_DETECT_DATA_DIR"] = prev_data_dir
+            _os.environ["DA_DETECT_DATA_DIR"] = prev
+
+    cfg = _flagship_cfg(**cfg_kwargs)
+    cfg.TPU.MAX_GT_BOXES = max_gt
+    cfg.SOLVER.IMS_PER_BATCH = 2 * k
+    cfg.INPUT.MIN_SIZE_TRAIN = (resize[0],)
+    cfg.INPUT.MAX_SIZE_TRAIN = resize[1]
+    cfg.INPUT.MIN_SIZE_TEST = resize[0]
+    cfg.INPUT.MAX_SIZE_TEST = resize[1]
+    cfg.DATASETS.SOURCE_TRAIN = ("sanity_clean_cocostyle",)
+    cfg.DATASETS.TARGET_TRAIN = ("sanity_foggy_cocostyle",)
+    cfg.DATASETS.TARGET_TRAIN_negative = ("sanity_rainy_cocostyle",)
+    cfg.DATASETS.TEST = ("sanity_foggy_cocostyle",)
+    return cfg, restore
+
+
+def _pipeline_rates(cfg_kwargs, k=1, steps_cold=100, steps_warm=200,
+                    n_images=24, disk_hw=(1024, 2048), resize=(600, 1200),
+                    max_gt=64):
+    """SYSTEM train throughput, cold AND warm: the real host pipeline
+    feeding the jitted step.
+
+    cold — staging cache OFF: every step decodes its 3 PNGs and preps them
+    (the reference's every-epoch behavior, engine/trainer.py:199 data_time
+    there). warm — staging cache ON and pre-staged (tools/stage_dataset.py):
+    steps read prepped canvases from the page cache; no decode on the
+    critical path. Both return (img/s, per-step host-ms itemization)."""
+    import jax
+    import jax.random as jrandom
+    from da_detect_tpu.data import make_data_loader_da, prestage_datasets
+    from da_detect_tpu.engine.trainer import create_train_state, make_train_step
+    from da_detect_tpu.models import build_detection_model
+
+    cfg, restore = _bench_data_cfg(cfg_kwargs, k, n_images, disk_hw, resize,
+                                   max_gt)
+    out = {}
+    try:
+        model = build_detection_model(cfg)
+        for phase, stage_on, steps in (("cold", False, steps_cold),
+                                       ("warm", True, steps_warm)):
+            cfg.DATALOADER.STAGE_CACHE = stage_on
+            if stage_on:
+                cfg.DATALOADER.STAGE_DIR = tempfile.mkdtemp(
+                    prefix="dd_bench_stage_")
+                t0 = time.perf_counter()
+                n_staged = prestage_datasets(cfg)
+                _mark(f"pre-staged {n_staged} canvases in "
+                      f"{time.perf_counter() - t0:.1f}s")
+            # the production host-feed transport: packed single-transfer
+            # batches (TPU.PACKED_TRANSPORT; data/packing.py) — one
+            # device_put per step from the prefetch thread
+            loader = make_data_loader_da(cfg, aligned=True, seed=0,
+                                         packed=True)
+            it = iter(loader)
+            buf, packer = next(it)
+            init_args = packer.unpack_np(np.asarray(jax.device_get(buf)))
+            state, tx = create_train_state(cfg, model, jrandom.PRNGKey(0),
+                                           init_args, "cosine")
+            step = make_train_step(model, tx, aligned=True, packed=True)
+            state, m = step(state, buf, packer)  # compile
+            float(m["loss_total"])
+            for _ in range(5):  # warm the prefetch queue + steady state
+                state, m = step(state, *next(it))
+            float(m["loss_total"])
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                state, m = step(state, *next(it))
+            final = float(m["loss_total"])  # barrier inside timed region
+            dt = (time.perf_counter() - t0) / steps
+            assert np.isfinite(final)
+            stats = loader.stats
+            loader.close()
+            del state, step
+            out[phase] = (3 * k / dt, _host_ms(stats))
+            _mark(f"pipeline {phase}: {3 * k / dt:.2f} img/s "
+                  f"host={out[phase][1]}")
+    finally:
+        restore()
+    return out
+
+
+def _inference_pipeline_rates(cfg_kwargs, n_images=24,
+                              disk_hw=(1024, 2048), resize=(600, 1200)):
+    """SYSTEM eval throughput, cold AND warm: the real eval loader (decode,
+    prep, fixed-shape batching) -> jitted eval forward -> unpad/rescale to
+    original frames (engine/inference.py compute_on_dataset — the exact
+    span the reference times at inference.py:104-110 there). Returns
+    {phase: (img/s, host-ms itemization)}."""
+    import jax
+    from da_detect_tpu.data import make_data_loader, prestage_datasets
+    from da_detect_tpu.engine.inference import compute_on_dataset
+    from da_detect_tpu.models import build_detection_model
+
+    cfg, restore = _bench_data_cfg(cfg_kwargs, 1, n_images, disk_hw, resize,
+                                   max_gt=64)
+    cfg.TEST.IMS_PER_BATCH = 1
+    out = {}
+    try:
+        model = build_detection_model(cfg)
+        variables = None
+        for phase, stage_on in (("cold", False), ("warm", True)):
+            cfg.DATALOADER.STAGE_CACHE = stage_on
+            if stage_on:
+                cfg.DATALOADER.STAGE_DIR = tempfile.mkdtemp(
+                    prefix="dd_bench_stage_eval_")
+                prestage_datasets(cfg, is_train=False)
+            # pass 1: compile the eval step (+ fills nothing: loaders are
+            # single-pass); pass 2 is the timed run
+            for timed in (False, True):
+                loader, _ = make_data_loader(cfg, is_train=False)
+                if variables is None:
+                    batch, _ids = next(iter(loader))
+                    variables = model.init({"params": jax.random.PRNGKey(0)},
+                                           batch)
+                    loader.close()
+                    loader, _ = make_data_loader(cfg, is_train=False)
+                t0 = time.perf_counter()
+                preds = compute_on_dataset(model, variables, loader,
+                                           progress_every=0)
+                dt = time.perf_counter() - t0
+                stats = loader.stats
+                loader.close()
+                if timed:
+                    assert len(preds) == n_images
+                    out[phase] = (n_images / dt, _host_ms(stats))
+                    _mark(f"inference pipeline {phase}: "
+                          f"{n_images / dt:.2f} img/s host={out[phase][1]}")
+    finally:
+        restore()
+    return out
 
 
 def _inference_rate(cfg_kwargs):
@@ -275,12 +384,16 @@ def main():
                              if flops else None),
         "peak_tflops_measured": None,
         "pipeline_images_per_sec": None,
+        "pipeline_warm_images_per_sec": None,
+        "pipeline_cold_host_ms": None,
+        "pipeline_warm_host_ms": None,
         "inference_images_per_sec": None,
         "inference_mfu": None,
+        "inference_pipeline_images_per_sec": None,
+        "inference_pipeline_warm_images_per_sec": None,
         "unaligned_images_per_sec": None,
+        "aligned_noshare_images_per_sec": None,
         "aligned_k8_images_per_sec": None,
-        "share_pool_images_per_sec": None,
-        "share_pool_k8_images_per_sec": None,
     }
 
     # From here on the headline is in hand: if an external timeout kills
@@ -305,18 +418,24 @@ def main():
     except Exception:
         peak = None
 
-    # the SYSTEM number: loader-fed sustained throughput (same device
-    # program as the headline; any gap is host-pipeline overhead).
-    # need_s: packed-variant step compile (cold) + data gen + 200 steps.
+    # the SYSTEM numbers: loader-fed sustained throughput, cold (every
+    # step decodes its PNGs) and warm (pre-staged canvas cache). Same
+    # device program as the headline; the gap is host-pipeline overhead,
+    # itemized per stage in *_host_ms.
+    # need_s: packed-variant step compile (cold) + data gen + prestage +
+    # 100 cold + 200 warm steps.
     try:
-        if budget_left(360):
+        if budget_left(420):
             _mark("pipeline (loader-fed) section")
-            out["pipeline_images_per_sec"] = round(
-                _pipeline_rate(cfg_kwargs, k=1), 3)
+            rates = _pipeline_rates(cfg_kwargs, k=1)
+            out["pipeline_images_per_sec"] = round(rates["cold"][0], 3)
+            out["pipeline_cold_host_ms"] = rates["cold"][1]
+            out["pipeline_warm_images_per_sec"] = round(rates["warm"][0], 3)
+            out["pipeline_warm_host_ms"] = rates["warm"][1]
     except Exception:
         pass
 
-    # inference path (cheap compile): images/s + its own MFU
+    # inference path (cheap compile): device-resident images/s + MFU
     try:
         if budget_left(120):
             _mark("inference section")
@@ -328,14 +447,24 @@ def main():
     except Exception:
         pass
 
+    # loader-fed eval: real decode -> eval forward -> unpad/rescale
+    try:
+        if budget_left(300):
+            _mark("inference pipeline (loader-fed) section")
+            rates = _inference_pipeline_rates(cfg_kwargs)
+            out["inference_pipeline_images_per_sec"] = round(
+                rates["cold"][0], 3)
+            out["inference_pipeline_warm_images_per_sec"] = round(
+                rates["warm"][0], 3)
+    except Exception:
+        pass
+
     # scaling rows (budgeted: each is an extra full-step compile; cold
     # compiles over the relay run ~3-5 min, so each row must leave room)
     for key, kwargs, n_img, iters in (
             ("aligned_k8_images_per_sec", dict(k=8, aligned=True), 24, 8),
-            ("share_pool_k8_images_per_sec",
-             dict(k=8, aligned=True, share_pool=True), 24, 8),
-            ("share_pool_images_per_sec",
-             dict(k=1, aligned=True, share_pool=True), 3, 20),
+            ("aligned_noshare_images_per_sec",
+             dict(k=1, aligned=True, share_pool=False), 3, 20),
             ("unaligned_images_per_sec", dict(k=1, aligned=False), 3, 20),
     ):
         try:

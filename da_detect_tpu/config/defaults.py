@@ -354,9 +354,13 @@ _C.TPU.STEM_SPACE_TO_DEPTH = False
 # features as the triplet's positive member instead of re-pooling them with
 # an independent subsample draw (reference generalized_rcnn.py:109-114 draws
 # independently). Identical feature/subsample distribution — only the draw
-# is shared with the DA-instance loss — and saves one full ROI-head pass per
-# step. Off by default for reference fidelity.
-_C.TPU.SHARE_POSITIVE_POOL = False
+# is shared with the DA-instance loss — and saves one full ROI-head pass
+# per step (+~17% aligned throughput, BENCH_r04 50.1 -> 60.2 img/s at k=8).
+# ON by default: the loss-equivalence gate is tests/test_model_build.py:122;
+# the reference-parity suites pin this False to anchor the independent-draw
+# path (tests/test_train_{loss,trajectory}_parity.py). No effect outside
+# the aligned-triplet branch.
+_C.TPU.SHARE_POSITIVE_POOL = True
 # Per-block activation rematerialization (jax.checkpoint): the backward pass
 # recomputes each bottleneck block instead of storing its internals —
 # activation HBM drops ~3x for ~1/3 extra forward FLOPs. Numerics and param

@@ -1,3 +1,5 @@
-from .build import make_data_loader, make_data_loader_da, build_dataset
+from .build import (build_dataset, make_data_loader, make_data_loader_da,
+                    prestage_datasets)
 
-__all__ = ["make_data_loader", "make_data_loader_da", "build_dataset"]
+__all__ = ["make_data_loader", "make_data_loader_da", "build_dataset",
+           "prestage_datasets"]

@@ -429,12 +429,16 @@ def make_data_loader(cfg, *, is_train: bool, dataset_names=None,
             t0 = time.perf_counter()
             dev = jax.device_put(buf)
             proc._tick("put_s", t0)
+            with proc._stats_lock:
+                proc.stats["batches"] += 1
             yield dev, packer
             return
         t0 = time.perf_counter()
         batch = put_batch(batch, sharding)
         targets = put_batch(targets, sharding)
         proc._tick("put_s", t0)
+        with proc._stats_lock:
+            proc.stats["batches"] += 1
         if is_train:
             yield batch, targets
         else:
@@ -442,6 +446,53 @@ def make_data_loader(cfg, *, is_train: bool, dataset_names=None,
 
     return _Prefetcher(generate, depth=cfg.TPU.PREFETCH, pool=pool,
                        proc=proc), dataset
+
+
+def prestage_datasets(cfg, dataset_names=None, *, is_train: bool = True,
+                      include_da: bool = True) -> int:
+    """Offline staging: decode + prep every (image, geometry) variant of the
+    configured datasets into the staging cache (data/staging.py) so training
+    starts fully warm — the train-time equivalent of ahead-of-time
+    compilation. With flip_prob 0.5 and a single MIN_SIZE_TRAIN there are
+    two variants per image. Returns the number of canvases prepped (0 when
+    ``DATALOADER.STAGE_CACHE`` is off). CLI: tools/stage_dataset.py."""
+    proc = _SampleProcessor(cfg, is_train)
+    if proc.stage is None:
+        return 0
+    roles: list[tuple] = []
+    if dataset_names is not None:
+        roles.append((tuple(dataset_names), True))
+    elif not is_train:
+        roles.append((tuple(cfg.DATASETS.TEST), True))
+    else:
+        if cfg.DATASETS.TRAIN:
+            roles.append((tuple(cfg.DATASETS.TRAIN), True))
+        if include_da and cfg.DATASETS.SOURCE_TRAIN:
+            roles.append((tuple(cfg.DATASETS.SOURCE_TRAIN), True))
+            roles.append((tuple(cfg.DATASETS.TARGET_TRAIN), False))
+            if cfg.DATASETS.TARGET_TRAIN_negative:
+                roles.append((tuple(cfg.DATASETS.TARGET_TRAIN_negative),
+                              False))
+    flips = (False, True) if proc.flip_prob > 0 else (False,)
+    n = 0
+    pool = _make_pool(cfg)
+    try:
+        for names, is_source in roles:
+            dataset = build_dataset(names, is_train, is_source)
+            jobs = []
+            for idx in range(len(dataset)):
+                s = dataset.sample(idx)
+                canvas = proc.canvas_hw(s)
+                for ms in proc.min_sizes:
+                    for flip in flips:
+                        jobs.append((s, dict(min_size=ms, hflip=flip),
+                                     canvas))
+            _run_jobs(pool, proc, jobs)
+            n += len(jobs)
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False)
+    return n
 
 
 def make_data_loader_da(cfg, *, aligned: bool = True, seed: int = 0,
@@ -521,8 +572,12 @@ def make_data_loader_da(cfg, *, aligned: bool = True, seed: int = 0,
                     t0 = time.perf_counter()
                     dev = jax.device_put(buf)
                     proc._tick("put_s", t0)
+                    with proc._stats_lock:
+                        proc.stats["batches"] += 1
                     yield dev, packer
                 else:
+                    with proc._stats_lock:
+                        proc.stats["batches"] += 1
                     yield tuple(out)
             epoch += 1
 

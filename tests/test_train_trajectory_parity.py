@@ -325,6 +325,10 @@ def _run_ours_trajectory(yaml_rel, overrides, sd, imgs, mode, schedule):
     cfg.TPU.COMPUTE_DTYPE = "float32"
     cfg.TPU.APPROX_TOPK = False
     cfg.TPU.MAX_GT_BOXES = MAX_GT
+    # parity pins the reference's independent-draw re-pool
+    # (generalized_rcnn.py:109-114 there); the shared-pool production
+    # default is equivalence-gated separately (test_model_build.py:122)
+    cfg.TPU.SHARE_POSITIVE_POOL = False
     model = build_detection_model(cfg)
 
     gt = _gt_boxes()
