@@ -107,12 +107,15 @@ class _SampleProcessor:
         with self._stats_lock:
             self.stats[key] += time.perf_counter() - t0
 
+    def _stage_key(self, params, canvas_hw) -> tuple:
+        """Everything that affects the prepped pixels."""
+        return (params["min_size"], self.max_size, bool(params["hflip"]),
+                tuple(canvas_hw), self.pixel_mean, self.pixel_std,
+                self.to_bgr255)
+
     def __call__(self, sample, params, canvas_hw):
         orig_boxes = sample["boxes"]
-        # everything that affects the prepped pixels goes into the cache key
-        stage_key = (params["min_size"], self.max_size,
-                     bool(params["hflip"]), tuple(canvas_hw),
-                     self.pixel_mean, self.pixel_std, self.to_bgr255)
+        stage_key = self._stage_key(params, canvas_hw)
         mh, mw = int(sample["height"]), int(sample["width"])
         img = None
         if self.stage is not None:
@@ -485,8 +488,13 @@ def prestage_datasets(cfg, dataset_names=None, *, is_train: bool = True,
                 canvas = proc.canvas_hw(s)
                 for ms in proc.min_sizes:
                     for flip in flips:
-                        jobs.append((s, dict(min_size=ms, hflip=flip),
-                                     canvas))
+                        params = dict(min_size=ms, hflip=flip)
+                        # idempotent: already-staged variants (shared
+                        # images across roles, reruns) are skipped
+                        if proc.stage.has(s["path"],
+                                          proc._stage_key(params, canvas)):
+                            continue
+                        jobs.append((s, params, canvas))
             _run_jobs(pool, proc, jobs)
             n += len(jobs)
     finally:

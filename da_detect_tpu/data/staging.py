@@ -68,6 +68,9 @@ class StageCache:
         h = hashlib.sha1(raw.encode()).hexdigest()
         return os.path.join(self.root, h[:2], h + ".npy")
 
+    def has(self, image_path: str, key_parts: tuple) -> bool:
+        return os.path.exists(self._path(image_path, key_parts))
+
     def get(self, image_path: str, key_parts: tuple) -> Optional[np.ndarray]:
         """Return the float32 canvas on a hit, else None."""
         p = self._path(image_path, key_parts)

@@ -56,25 +56,66 @@ def flagship_tiny_sharded():
     cfg.TPU.MAX_GT_BOXES = 8
     cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 16
     cfg.SOLVER.IMS_PER_BATCH = 16
+    # enable the adaptive margin (the shipped default max==initial freezes
+    # it) so the cross-step DAState becomes a live equivalence signal.
+    # margin -0.5: growth fires only on EXACTLY-zero loss; a random-init
+    # backbone has dead (ReLU-zero) feature rows where d(a,n) == d(a,p),
+    # each contributing max(margin, 0) to the hinge — only a non-positive
+    # margin keeps the loss exactly 0 (growth arithmetic unchanged; see
+    # __graft_entry__._dryrun_impl, same crafting)
+    cfg.MODEL.DA_HEADS.TRIPLET_MAX_MARGIN = 3.0
+    cfg.MODEL.DA_HEADS.TRIPLET_MARGIN_IMG = -0.5
     model = build_detection_model(cfg)
 
-    host_sample = []
-    for d, src in ((0, True), (1, False), (2, False)):
-        b, t = entry._batch(cfg, 8, seed=d, is_source=src)
-        host_sample += [b, t]
-    host_sample = tuple(host_sample)
+    # positive := pixel copy of the source (the ALIGNMENT data contract,
+    # reference build.py:40-47 there) -> identical backbone features ->
+    # image-triplet hinge exactly 0 -> the margin grows by lr each step
+    # AFTER the first (DAState.create seeds last loss 1.0, matching the
+    # reference's `triplet_img = [1]`, da_heads.py:113 there).
+    b_s, t_s = entry._batch(cfg, 8, seed=0, is_source=True)
+    b_p = b_s.replace(is_source=jax.numpy.zeros_like(b_s.is_source))
+    # negative: far-away pixels so d(anchor, negative) clears the margin
+    b_n = b_p.replace(images=b_s.images + 200.0)
+    host_sample = (b_s, t_s, b_p, t_s, b_n, t_s)
 
     state, tx = create_train_state(cfg, model, jax.random.PRNGKey(0),
                                    host_sample, "cosine")
     step = make_train_step(model, tx, aligned=True, donate=False)
 
+    n_steps = 3
     mesh1 = make_mesh(1)
     sample1 = tuple(jax.device_put(a, data_sharding(mesh1))
                     for a in host_sample)
-    st1 = replicate(state, mesh1)
-    new_state, metrics = step(st1, *sample1)
-    metrics = jax.device_get(metrics)
-    assert np.isfinite(metrics["loss_total"]), metrics
-    baseline = (jax.device_get(new_state.params), metrics)
+    st = replicate(state, mesh1)
+    margins, losses, step1 = [], [], None
+    for i in range(n_steps):
+        st, metrics = step(st, *sample1)
+        metrics = jax.device_get(metrics)
+        assert np.isfinite(metrics["loss_total"]), metrics
+        margins.append(float(st.da_state.margin_img))
+        losses.append({k: float(v) for k, v in metrics.items()})
+        if i == 0:
+            step1 = (jax.device_get(st.params), metrics)
+    # the margin really moves: flat at step 1 (seeded last-loss 1.0), then
+    # +lr per zero-loss step — any sharding must reproduce this exactly
+    np.testing.assert_allclose(margins, [-0.5, -0.499, -0.498], atol=1e-6)
+    assert losses[0]["triplet_loss_image"] == 0.0
+    trajectory = dict(margins_img=margins, losses=losses,
+                      final_params=jax.device_get(st.params),
+                      n_steps=n_steps)
+
+    def run_trajectory(mesh, place_state, shard_sample):
+        """Run the SAME n-step trajectory under a different sharding;
+        returns (margin trajectory, final params, final metrics)."""
+        st = place_state(state, mesh)
+        sm = shard_sample(host_sample, mesh)
+        m = None
+        traj = []
+        for _ in range(n_steps):
+            st, m = step(st, *sm)
+            traj.append(float(st.da_state.margin_img))
+        return traj, jax.device_get(st.params), jax.device_get(m)
+
     return dict(cfg=cfg, model=model, host_sample=host_sample, state=state,
-                step=step, baseline=baseline)
+                step=step, baseline=step1, trajectory=trajectory,
+                run_trajectory=run_trajectory)

@@ -117,3 +117,31 @@ def test_batch_mesh_divisibility_guard(tiny_data):
         f"expected the conftest 8-device CPU mesh, got {mesh.devices!r}")
     with pytest.raises(ValueError, match="not divisible by the data-mesh"):
         make_data_loader(cfg, is_train=True, sharding=data_sharding(mesh))
+
+
+def test_stage_dataset_cli(tiny_data, tmp_path):
+    """Offline staging CLI: pre-stages every (image, geometry) variant of
+    the DA triplet datasets; a subsequent loader epoch is all cache hits
+    (no decode on the training path)."""
+    from da_detect_tpu.config import get_cfg
+    from da_detect_tpu.data import make_data_loader_da
+    from da_detect_tpu.tools import stage_dataset
+
+    stage = tmp_path / "stage"
+    opts = _common_opts(tmp_path / "out") + [
+        "DATALOADER.STAGE_DIR", str(stage)]
+    n = stage_dataset.main(opts)
+    # 3 datasets x images x 2 flip variants x 1 min_size
+    assert n > 0 and n % 2 == 0
+    assert any(stage.rglob("*.npy"))
+
+    cfg = get_cfg()
+    cfg.merge_from_list(opts)
+    loader = make_data_loader_da(cfg, aligned=True, seed=0)
+    it = iter(loader)
+    for _ in range(3):
+        next(it)
+    stats = loader.stats
+    loader.close()
+    assert stats["stage_misses"] == 0 and stats["stage_hits"] > 0
+    assert "decode_s" not in stats

@@ -65,6 +65,27 @@ def test_sharded_step_matches_single_device(flagship_tiny_sharded):
             err_msg=f"updated param {jax.tree_util.keystr(path)} diverges "
                     "between 8-device and 1-device training")
 
+    # N-step TRAJECTORY equivalence (round-4 verdict item 5): the composed
+    # optimizer updates and the cross-step DAState margin — which grows
+    # +lr on every zero-loss step in this fixture — must be shard-invariant
+    # over 3 steps, not just one forward+backward. This is DDP's actual
+    # guarantee (reference tools/train_net_triplet.py:83-88 there).
+    traj = fx["trajectory"]
+    margins8, final8, last8 = fx["run_trajectory"](
+        mesh, replicate,
+        lambda hs, m: tuple(jax.device_put(a, data_sharding(m)) for a in hs))
+    np.testing.assert_allclose(margins8, traj["margins_img"], atol=1e-6,
+                               err_msg="DAState margin trajectory diverges")
+    assert margins8[0] != margins8[-1], "margin never moved — dead signal"
+    flat8n = jax.tree_util.tree_leaves_with_path(final8)
+    flat1n = dict(jax.tree_util.tree_leaves_with_path(traj["final_params"]))
+    for path, leaf8 in flat8n:
+        np.testing.assert_allclose(
+            np.asarray(leaf8), np.asarray(flat1n[path]), rtol=3e-4, atol=3e-6,
+            err_msg=f"{traj['n_steps']}-step param "
+                    f"{jax.tree_util.keystr(path)} diverges between "
+                    "8-device and 1-device training")
+
 
 def test_sharded_eval_matches_single_device():
     """Device-sharded evaluation (the loader device_puts eval batches with

@@ -85,3 +85,22 @@ def test_spatial_step_matches_single_device(flagship_tiny_sharded):
             np.asarray(leaf), np.asarray(flat_1[path]), rtol=1e-4, atol=1e-6,
             err_msg=f"updated param {jax.tree_util.keystr(path)} diverges "
                     "between dp2 x sp4 and 1-device training")
+
+    # N-step trajectory on the shared k=8 fixture batch (data axis 2
+    # divides it): margins + composed updates stay shard-invariant under
+    # spatial partitioning (round-4 verdict item 5)
+    traj = fx["trajectory"]
+    sp_mesh = make_mesh(8, spatial=4)
+    margins_sp, final_sp, _ = fx["run_trajectory"](sp_mesh, replicate,
+                                                   shard_batch)
+    np.testing.assert_allclose(margins_sp, traj["margins_img"], atol=1e-6,
+                               err_msg="DAState margin trajectory diverges "
+                                       "under spatial partitioning")
+    flat_spn = jax.tree_util.tree_leaves_with_path(final_sp)
+    flat_1n = dict(jax.tree_util.tree_leaves_with_path(traj["final_params"]))
+    for path, leaf in flat_spn:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_1n[path]), rtol=3e-4, atol=3e-6,
+            err_msg=f"{traj['n_steps']}-step param "
+                    f"{jax.tree_util.keystr(path)} diverges between "
+                    "dp2 x sp4 and 1-device training")

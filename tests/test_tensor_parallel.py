@@ -70,6 +70,23 @@ def test_model_sharded_step_matches_data_parallel(flagship_tiny_sharded):
             err_msg=f"updated param {jax.tree_util.keystr(path)} diverges "
                     "between (data=4, model=2) and 1-device training")
 
+    # N-step trajectory: margin schedule + composed updates stay
+    # shard-invariant under tensor parallelism (round-4 verdict item 5)
+    traj = fx["trajectory"]
+    margins_tp, final_tp, _ = fx["run_trajectory"](mesh, shard_model,
+                                                   shard_batch)
+    np.testing.assert_allclose(margins_tp, traj["margins_img"], atol=1e-6,
+                               err_msg="DAState margin trajectory diverges "
+                                       "under tensor parallelism")
+    flat_tpn = jax.tree_util.tree_leaves_with_path(final_tp)
+    flat_1n = dict(jax.tree_util.tree_leaves_with_path(traj["final_params"]))
+    for path, leaf in flat_tpn:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_1n[path]), rtol=3e-3, atol=3e-5,
+            err_msg=f"{traj['n_steps']}-step param "
+                    f"{jax.tree_util.keystr(path)} diverges between "
+                    "(data=4, model=2) and 1-device training")
+
 
 def test_make_mesh_axes_and_guards():
     assert make_mesh(8, model=2).axis_names == ("data", "model")
