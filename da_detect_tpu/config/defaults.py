@@ -397,6 +397,15 @@ _C.TPU.APPROX_TOPK = True
 _C.TPU.ROI_MAX_SAMPLES = 8
 # Host data pipeline prefetch depth (device buffers).
 _C.TPU.PREFETCH = 2
+# Pixel transport dtype for loader-fed batches. "uint8" (default) ships
+# RAW resized pixels (1 byte each) and normalizes on device
+# (structures/image_batch.py::ImageBatch.normalized — the affine fuses
+# into the first conv); the host->device wire then carries 4x fewer bytes,
+# which is the loader-fed bottleneck on relayed attachments
+# (PERFORMANCE.md §Host input pipeline). "float32" = host-side
+# normalization (reference-exact f32 bilinear; uint8 differs only by
+# cv2's 1/255 resize rounding, below bf16 input rounding).
+_C.TPU.TRANSPORT_PIXELS = "uint8"
 # Single-transfer batch transport (data/packing.py): pack each step's whole
 # input pytree into one buffer and ship it with one device_put from the
 # prefetch thread. On relayed/remote chips the per-transfer round-trip

@@ -34,7 +34,8 @@ from .packing import BatchPacker
 from .staging import make_stage_cache
 from .transforms import (apply_geometry, canvas_for, compute_resize_hw,
                          load_image_bgr, normalize_and_pad,
-                         rasterize_polygons, transform_boxes)
+                         rasterize_polygons, resize_flip_pad_u8,
+                         transform_boxes)
 
 try:  # fused native resize+normalize+pad (one pass; see native/src)
     from .. import native as _native
@@ -71,9 +72,17 @@ class _SampleProcessor:
     def __init__(self, cfg, is_train: bool, with_masks: bool = False,
                  mask_resolution: int = 112, with_keypoints: bool = False):
         self.is_train = is_train
+        # uint8 pixel transport (TPU.TRANSPORT_PIXELS): ship RAW resized
+        # pixels (1 byte each) and normalize on device
+        # (ImageBatch.normalized) — 4x fewer wire bytes than f32 canvases;
+        # the host->device link is the loader-fed bottleneck on relayed
+        # attachments (PERFORMANCE.md §Host input pipeline)
+        self.transport_u8 = cfg.TPU.TRANSPORT_PIXELS == "uint8"
         # prepped-canvas staging cache (data/staging.py): decode each
         # (image, geometry) once, epochs >= 2 read the post-prep canvas
         self.stage = make_stage_cache(cfg)
+        if self.stage is not None and self.transport_u8:
+            self.stage.dtype = np.dtype(np.uint8)  # store raw pixels too
         # host-budget itemization (seconds, accumulated across workers;
         # read via loader.stats — PERFORMANCE.md quotes these per step)
         self.stats: dict[str, float] = defaultdict(float)
@@ -136,7 +145,12 @@ class _SampleProcessor:
             t0 = time.perf_counter()
             rh, rw = compute_resize_hw(h, w, params["min_size"],
                                        self.max_size)
-            if _HAVE_NATIVE_PREP:
+            if self.transport_u8:
+                boxes = transform_boxes(sample["boxes"], h, w, rh, rw,
+                                        params["hflip"])
+                img = resize_flip_pad_u8(raw, canvas_hw, rh, rw,
+                                         params["hflip"])
+            elif _HAVE_NATIVE_PREP:
                 boxes = transform_boxes(sample["boxes"], h, w, rh, rw,
                                         params["hflip"])
                 img = _native.prep_image(raw, canvas_hw, (rh, rw),

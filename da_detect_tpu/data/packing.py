@@ -1,5 +1,5 @@
 """Single-transfer batch transport: pack a step's whole input pytree into
-ONE contiguous f32 buffer on the host, ship it with ONE ``device_put``, and
+ONE contiguous byte buffer on the host, ship it with ONE ``device_put``, and
 reconstruct the pytree on device inside the consuming jitted program.
 
 Why this exists: on relayed/remote TPU attachments every host->device
@@ -12,16 +12,18 @@ leaves the step consumes. On directly-attached devices it is harmless (one
 large copy instead of several smaller ones).
 
 The reference streams CPU tensors into ``.to(device)`` per tensor inside its
-train loop (reference engine/trainer.py:224-226); this module is the
-TPU-native replacement: the loader's producer thread packs + transfers while
-the device executes the previous step, and the unpack is free on device
-(XLA fuses the slices into the consumers).
+train loop (triplet path: reference engine/trainer.py:215-216); this module
+is the TPU-native replacement: the loader's producer thread packs +
+transfers while the device executes the previous step, and the unpack is
+free on device (XLA fuses the slices/bitcasts into the consumers).
 
-Exactness: every leaf is VALUE-cast to f32 for transport and cast back on
-device. This is exact for all loader dtypes — f32 stays f32; i32 leaves
-(labels, sizes) are exact in f32 below 2**24 (asserted at pack time); bool
-round-trips as 0/1. No bit-level tricks, so the packed buffer is also a
-plain debuggable array.
+Exactness: every leaf's RAW BYTES are copied into a flat uint8 buffer and
+bitcast back to the leaf dtype on device (``lax.bitcast_convert_type``) —
+bit-exact for every dtype with no range caveats, and byte-minimal: a uint8
+image leaf (``TPU.TRANSPORT_PIXELS``) costs 1 byte/pixel on the wire where
+the round-1..4 f32 value-packer cost 4 (the wire is the system bottleneck
+on relayed attachments — PERFORMANCE.md §Host input pipeline). bool leaves
+travel as one 0/1 byte.
 """
 
 from __future__ import annotations
@@ -32,11 +34,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_I24 = 1 << 24  # f32 holds integers exactly below this
-
 
 class BatchPacker:
-    """Pack/unpack a fixed-structure pytree of arrays through one f32 buffer.
+    """Pack/unpack a fixed-structure pytree of arrays through one uint8
+    buffer.
 
     Built once from an example step input (structure, shapes and dtypes must
     stay fixed across steps — the loaders guarantee static shapes). ``pack``
@@ -50,47 +51,74 @@ class BatchPacker:
         for d in self.dtypes:
             if d.kind not in "fiub":
                 raise TypeError(f"unsupported leaf dtype {d}")
-        sizes = tuple(int(np.prod(s, dtype=np.int64)) for s in self.shapes)
-        self.offsets = tuple(int(o) for o in np.cumsum((0,) + sizes)[:-1])
-        self.sizes = sizes
-        self.total = int(sum(sizes))
+        # byte extents; every leaf offset aligned to its itemsize so the
+        # device-side reshape-to-itemsize-columns is a plain view
+        offs, total = [], 0
+        for d, s in zip(self.dtypes, self.shapes):
+            item = 1 if d.kind == "b" else d.itemsize
+            total = -(-total // item) * item  # round up to alignment
+            offs.append(total)
+            total += int(np.prod(s, dtype=np.int64)) * item
+        self.offsets = tuple(offs)
+        self.total = int(total)
+
+    def _nbytes(self, i: int) -> int:
+        d = self.dtypes[i]
+        item = 1 if d.kind == "b" else d.itemsize
+        return int(np.prod(self.shapes[i], dtype=np.int64)) * item
 
     def pack(self, tree: Any) -> np.ndarray:
-        """Host-side: flatten ``tree`` into one [total] f32 numpy buffer."""
+        """Host-side: flatten ``tree`` into one [total] uint8 numpy buffer
+        (raw bytes, bit-exact)."""
         leaves = self.treedef.flatten_up_to(tree)
-        buf = np.empty((self.total,), np.float32)
-        for leaf, off, size, dt, shape in zip(
-                leaves, self.offsets, self.sizes, self.dtypes, self.shapes):
+        buf = np.empty((self.total,), np.uint8)
+        for i, leaf in enumerate(leaves):
             a = np.asarray(leaf)
-            if a.shape != shape:
-                raise ValueError(f"leaf shape {a.shape} != packed {shape}")
-            if dt.kind in "iu" and a.size and abs(a).max() >= _I24:
+            if a.shape != self.shapes[i]:
                 raise ValueError(
-                    f"integer leaf exceeds exact-f32 range (max {a.max()})")
-            buf[off:off + size] = a.astype(np.float32, copy=False).ravel()
+                    f"leaf shape {a.shape} != packed {self.shapes[i]}")
+            if a.dtype != self.dtypes[i]:
+                raise ValueError(
+                    f"leaf dtype {a.dtype} != packed {self.dtypes[i]}")
+            if self.dtypes[i].kind == "b":
+                raw = a.astype(np.uint8).reshape(-1)
+            else:
+                raw = np.ascontiguousarray(a).view(np.uint8).reshape(-1)
+            buf[self.offsets[i]:self.offsets[i] + raw.size] = raw
         return buf
 
     def unpack(self, packed: jnp.ndarray) -> Any:
         """Device-side (trace under jit): rebuild the original pytree."""
         leaves = []
-        for off, size, dt, shape in zip(self.offsets, self.sizes,
-                                        self.dtypes, self.shapes):
-            x = jax.lax.slice(packed, (off,), (off + size,)).reshape(shape)
+        for i, (off, dt, shape) in enumerate(zip(self.offsets, self.dtypes,
+                                                 self.shapes)):
+            n = self._nbytes(i)
+            raw = jax.lax.slice(packed, (off,), (off + n,))
             if dt.kind == "b":
-                x = x != 0
-            elif np.dtype(dt) != np.float32:
-                x = x.astype(dt)
+                x = raw.reshape(shape) != 0
+            elif dt.itemsize == 1:
+                x = raw.reshape(shape)
+                if dt != np.uint8:
+                    x = jax.lax.bitcast_convert_type(x, jnp.dtype(dt))
+            else:
+                x = jax.lax.bitcast_convert_type(
+                    raw.reshape((-1, dt.itemsize)), jnp.dtype(dt)
+                ).reshape(shape)
             leaves.append(x)
         return jax.tree.unflatten(self.treedef, leaves)
 
     def unpack_np(self, packed: np.ndarray) -> Any:
         """Host-side inverse of ``pack`` (tests, init samples)."""
-        packed = np.asarray(packed)
+        packed = np.asarray(packed, np.uint8)
         leaves = []
-        for off, size, dt, shape in zip(self.offsets, self.sizes,
-                                        self.dtypes, self.shapes):
-            x = packed[off:off + size].reshape(shape)
-            leaves.append(x != 0 if dt.kind == "b" else x.astype(dt))
+        for i, (off, dt, shape) in enumerate(zip(self.offsets, self.dtypes,
+                                                 self.shapes)):
+            raw = packed[off:off + self._nbytes(i)]
+            if dt.kind == "b":
+                x = raw.reshape(shape) != 0
+            else:
+                x = raw.view(dt).reshape(shape)
+            leaves.append(x)
         return jax.tree.unflatten(self.treedef, leaves)
 
     # hashable/eq by spec: a BatchPacker is passed as a STATIC jit argument,

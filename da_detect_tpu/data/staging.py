@@ -78,8 +78,13 @@ class StageCache:
             arr = np.load(p, mmap_mode="r")
             # materialize an OWNED copy (asarray would alias the memmap and
             # pin its file descriptor); pages are OS-cached after epoch 2 so
-            # this is a memcpy
-            out = np.array(arr, np.float32, copy=True)
+            # this is a memcpy. uint8 canvases (TPU.TRANSPORT_PIXELS) stay
+            # uint8 — they are normalized on device; float storage returns
+            # the f32 canvas (f16 upcast on read).
+            if arr.dtype == np.uint8:
+                out = np.array(arr, copy=True)
+            else:
+                out = np.array(arr, np.float32, copy=True)
             self.hits += 1
             return out
         except (OSError, ValueError, EOFError):

@@ -97,6 +97,26 @@ def normalize_and_pad(image: np.ndarray, canvas_hw, pixel_mean,
     return out
 
 
+def resize_flip_pad_u8(image: np.ndarray, canvas_hw, rh: int, rw: int,
+                       hflip: bool) -> np.ndarray:
+    """uint8 transport path (``TPU.TRANSPORT_PIXELS: uint8``): resize +
+    flip + pad the RAW pixels; normalization happens ON DEVICE
+    (ImageBatch.normalized) where it fuses into the first conv — the wire
+    then carries 1 byte/pixel instead of 4 (the host->device link is the
+    system bottleneck on relayed attachments, PERFORMANCE.md §Host input
+    pipeline). cv2's uint8 bilinear rounds to 1/255 — below the bf16
+    compute rounding at pixel magnitudes (eps ~1.0 at 128)."""
+    h, w = image.shape[:2]
+    if (rh, rw) != (h, w):
+        image = cv2.resize(image, (rw, rh), interpolation=cv2.INTER_LINEAR)
+    if hflip:
+        image = image[:, ::-1]
+    ch, cw = canvas_hw
+    out = np.zeros((ch, cw, 3), np.uint8)
+    out[:rh, :rw] = image
+    return out
+
+
 def canvas_for(cfg, is_train: bool):
     """Static canvas (H, W) from config; TPU.IMAGE_SHAPE overrides."""
     th, tw = cfg.TPU.IMAGE_SHAPE

@@ -65,6 +65,15 @@ class GeneralizedRCNN(nn.Module):
     rpn_head_module: Optional[nn.Module] = None
     share_positive_pool: bool = False
     dtype: Any = jnp.float32
+    # device-side normalization constants for uint8 pixel transport
+    # (ImageBatch.normalized; float images pass through untouched)
+    pixel_mean: tuple = (102.9801, 115.9465, 122.7717)
+    pixel_std: tuple = (1.0, 1.0, 1.0)
+    to_bgr255: bool = True
+
+    def _pixels(self, batch: ImageBatch) -> jnp.ndarray:
+        return batch.normalized(self.pixel_mean, self.pixel_std,
+                                self.to_bgr255)
 
     def setup(self):
         # custom head (e.g. FBNet.rpn_head) or the standard 3x3-conv head
@@ -87,7 +96,8 @@ class GeneralizedRCNN(nn.Module):
     # -- inference ---------------------------------------------------------
     def __call__(self, batch: ImageBatch, with_masks: bool = False,
                  with_keypoints: bool = False):
-        feats, logits, deltas, anchors = self._features_and_rpn(batch.images)
+        feats, logits, deltas, anchors = self._features_and_rpn(
+            self._pixels(batch))
         props = select_proposals(anchors, logits, deltas,
                                  batch.sizes.astype(jnp.float32),
                                  **self.rpn_test)
@@ -128,7 +138,8 @@ class GeneralizedRCNN(nn.Module):
 
     # -- training ----------------------------------------------------------
     def _rpn_and_proposals(self, batch, targets, append_gt: bool):
-        feats, logits, deltas, anchors = self._features_and_rpn(batch.images)
+        feats, logits, deltas, anchors = self._features_and_rpn(
+            self._pixels(batch))
         sizes = batch.sizes.astype(jnp.float32)
         # proposal selection runs without gradients (reference rpn.py:114-117
         # wraps box_selector_train in no_grad)
@@ -240,7 +251,7 @@ class GeneralizedRCNN(nn.Module):
             img_fea_set = None
             da_ins_set = None
             if mode == "da_triplet":
-                feats_n = self.backbone(batch_n.images)
+                feats_n = self.backbone(self._pixels(batch_n))
                 img_fea_set = (feats_s[0], feats_t[0], feats_n[0])
                 if aligned:
                     # pool the positive slice's proposals from each domain's
@@ -355,5 +366,8 @@ def build_detection_model(cfg):
         rpn_head_module=rpn_head_module,
         share_positive_pool=cfg.TPU.SHARE_POSITIVE_POOL,
         dtype=dtype,
+        pixel_mean=tuple(cfg.INPUT.PIXEL_MEAN),
+        pixel_std=tuple(cfg.INPUT.PIXEL_STD),
+        to_bgr255=cfg.INPUT.TO_BGR255,
     )
     return model

@@ -182,6 +182,15 @@ class RetinaNet(nn.Module):
     num_convs: int = 4
     prior_prob: float = 0.01
     dtype: Any = jnp.float32
+    # device-side normalization constants for uint8 pixel transport
+    # (ImageBatch.normalized; float images pass through untouched)
+    pixel_mean: tuple = (102.9801, 115.9465, 122.7717)
+    pixel_std: tuple = (1.0, 1.0, 1.0)
+    to_bgr255: bool = True
+
+    def _pixels(self, batch: ImageBatch) -> jnp.ndarray:
+        return batch.normalized(self.pixel_mean, self.pixel_std,
+                                self.to_bgr255)
 
     def setup(self):
         self.head = RetinaNetHead(num_classes=self.num_classes - 1,
@@ -198,14 +207,14 @@ class RetinaNet(nn.Module):
         return logits, regs, anchors
 
     def __call__(self, batch: ImageBatch) -> Detections:
-        logits, regs, anchors = self._forward(batch.images)
+        logits, regs, anchors = self._forward(self._pixels(batch))
         return retinanet_inference(anchors, logits, regs,
                                    batch.sizes.astype(jnp.float32),
                                    **self.infer_cfg)
 
     def train_forward(self, batch: ImageBatch, targets: Targets, da_state,
                       *unused_domains, aligned: bool = False):
-        logits, regs, anchors = self._forward(batch.images)
+        logits, regs, anchors = self._forward(self._pixels(batch))
         b = batch.batch_size
         nc = self.num_classes - 1
         cls_cat = jnp.concatenate(
@@ -250,4 +259,7 @@ def build_retinanet(cfg):
         num_convs=r.NUM_CONVS,
         prior_prob=r.PRIOR_PROB,
         dtype=dtype,
+        pixel_mean=tuple(cfg.INPUT.PIXEL_MEAN),
+        pixel_std=tuple(cfg.INPUT.PIXEL_STD),
+        to_bgr255=cfg.INPUT.TO_BGR255,
     )

@@ -18,10 +18,37 @@ from flax import struct
 
 @struct.dataclass
 class ImageBatch:
-    images: jnp.ndarray      # [B, H, W, 3] float (normalized, Caffe2 BGR-255 convention)
+    # [B, H, W, 3]: float (already normalized on host, Caffe2 BGR-255
+    # convention) OR uint8 raw pixels (TPU.TRANSPORT_PIXELS: the loaders
+    # ship 1 byte/pixel and `normalized()` runs on device, where the affine
+    # fuses into the first conv)
+    images: jnp.ndarray
     sizes: jnp.ndarray       # [B, 2] int32 (valid h, w) within the padded canvas
     orig_sizes: jnp.ndarray  # [B, 2] int32 original (pre-resize) image h, w
     is_source: jnp.ndarray   # [B] bool — domain flag per image
+
+    def normalized(self, pixel_mean, pixel_std=(1.0, 1.0, 1.0),
+                   to_bgr255: bool = True) -> jnp.ndarray:
+        """float32 normalized canvas. uint8 transport: the device-side
+        replica of transforms.normalize_and_pad — same affine in f32, and
+        the canvas padding is forced to exact 0.0 (the host f32 path pads
+        AFTER normalizing, so padding is 0.0 in normalized space, not
+        -mean). Float images pass through (already normalized on host:
+        loaders in float32 mode, demo/predictor, synthetic benches)."""
+        imgs = self.images
+        if imgs.dtype != jnp.uint8:
+            return imgs
+        x = imgs.astype(jnp.float32)
+        if not to_bgr255:
+            x = x[..., ::-1] / 255.0  # torch convention: RGB 0-1
+        x = (x - jnp.asarray(pixel_mean, jnp.float32)) \
+            / jnp.asarray(pixel_std, jnp.float32)
+        h, w = imgs.shape[1], imgs.shape[2]
+        yy = jnp.arange(h)[None, :, None]
+        xx = jnp.arange(w)[None, None, :]
+        mask = ((yy < self.sizes[:, 0, None, None])
+                & (xx < self.sizes[:, 1, None, None]))
+        return x * mask[..., None]
 
     @property
     def batch_size(self) -> int:

@@ -5,10 +5,10 @@ decode-worker-pool determinism.
 Why it exists: on relayed TPU attachments each host->device transfer pays a
 fixed round-trip (~23 ms measured on the bench chip); a triplet step's ~21
 input leaves cost ~0.5 s of transport against a 64 ms device step. The
-packed transport ships the whole step input as ONE buffer; these tests pin
-that it is value-exact and leaves training semantics untouched (the
-reference streams per-tensor ``.to(device)`` in its loop,
-reference engine/trainer.py:224-226).
+packed transport ships the whole step input as ONE raw-byte buffer; these
+tests pin that it is bit-exact and leaves training semantics untouched (the
+reference streams per-tensor ``.to(device)`` in its loop — triplet path,
+reference engine/trainer.py:215-216).
 """
 
 import jax
@@ -38,14 +38,17 @@ def test_pack_roundtrip_exact_mixed_dtypes():
     rng = np.random.RandomState(0)
     tree = {
         "f32": rng.randn(3, 5, 2).astype(np.float32),
-        "i32": rng.randint(-2000, 3000, (7,), dtype=np.int32),
+        "u8": rng.randint(0, 256, (5, 7, 3), dtype=np.uint8),
+        "i32": rng.randint(-(1 << 30), 1 << 30, (7,), dtype=np.int32),
         "bool": rng.rand(4, 4) > 0.5,
         "nested": (rng.randn(2, 2).astype(np.float32),
-                   np.asarray([1, 0, 16777215], np.int32)),
+                   np.asarray([1, 0, (1 << 24) + 1, -(1 << 28)], np.int32)),
     }
     packer = BatchPacker(tree)
     buf = packer.pack(tree)
-    assert buf.dtype == np.float32 and buf.ndim == 1
+    # raw-byte transport: a uint8 pixel leaf costs 1 byte on the wire, and
+    # big/negative i32 values round-trip bit-exactly (no f32 range caveat)
+    assert buf.dtype == np.uint8 and buf.ndim == 1
     out = packer.unpack_np(buf)
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b)
                  or (a.dtype == b.dtype or pytest.fail(f"{a.dtype}!={b.dtype}")),
@@ -56,14 +59,12 @@ def test_pack_roundtrip_exact_mixed_dtypes():
                  tree, out_dev)
 
 
-def test_pack_rejects_out_of_range_ints_and_shape_drift():
-    tree = {"i": np.asarray([1 << 24], np.int32)}
-    packer = BatchPacker(tree)
-    with pytest.raises(ValueError, match="exact-f32"):
-        packer.pack(tree)
+def test_pack_rejects_shape_and_dtype_drift():
     packer2 = BatchPacker({"x": np.zeros((2, 3), np.float32)})
     with pytest.raises(ValueError, match="shape"):
         packer2.pack({"x": np.zeros((3, 2), np.float32)})
+    with pytest.raises(ValueError, match="dtype"):
+        packer2.pack({"x": np.zeros((2, 3), np.float64)})
 
 
 def test_packer_static_identity():
