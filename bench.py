@@ -125,6 +125,23 @@ def _flops_of(jitted_step, args):
         return None
 
 
+def _wire_mbps(mb: int = 32, reps: int = 3) -> float:
+    """Host->device transfer bandwidth (the loader-fed bound on relayed
+    attachments). Barrier = fetching one element through a jitted index
+    (block_until_ready is unreliable over the relay, TROUBLESHOOTING.md)."""
+    import jax
+    import jax.numpy as jnp
+    a = np.random.randint(0, 255, mb << 20, dtype=np.uint8)
+    probe = jax.jit(lambda x: x[0].astype(jnp.int32))
+    d = jax.device_put(a)
+    int(probe(d))  # warm the probe program
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        d = jax.device_put(a)
+        int(probe(d))
+    return mb * reps / (time.perf_counter() - t0)
+
+
 def _build(cfg_kwargs, k, aligned, share_pool=None):
     import jax
     from __graft_entry__ import _batch, _flagship_cfg
@@ -285,15 +302,17 @@ def _inference_pipeline_rates(cfg_kwargs, n_images=24,
                     prefix="dd_bench_stage_eval_")
                 prestage_datasets(cfg, is_train=False)
             # pass 1: compile the eval step (+ fills nothing: loaders are
-            # single-pass); pass 2 is the timed run
+            # single-pass); pass 2 is the timed run. Packed transport —
+            # the production single-device eval path (train_core.run_eval)
             for timed in (False, True):
-                loader, _ = make_data_loader(cfg, is_train=False)
                 if variables is None:
-                    batch, _ids = next(iter(loader))
+                    init_loader, _ = make_data_loader(cfg, is_train=False)
+                    batch, _ids = next(iter(init_loader))
                     variables = model.init({"params": jax.random.PRNGKey(0)},
                                            batch)
-                    loader.close()
-                    loader, _ = make_data_loader(cfg, is_train=False)
+                    init_loader.close()
+                loader, _ = make_data_loader(cfg, is_train=False,
+                                             packed=True)
                 t0 = time.perf_counter()
                 preds = compute_on_dataset(model, variables, loader,
                                            progress_every=0)
@@ -383,6 +402,7 @@ def main():
         "mfu_vs_datasheet": (round(flops / (dt * DATASHEET_TFLOPS * 1e12), 4)
                              if flops else None),
         "peak_tflops_measured": None,
+        "host_to_device_MBps": None,
         "pipeline_images_per_sec": None,
         "pipeline_warm_images_per_sec": None,
         "pipeline_cold_host_ms": None,
@@ -417,6 +437,15 @@ def main():
             out["mfu"] = round(flops / (dt * peak * 1e12), 4)
     except Exception:
         peak = None
+
+    # host->device wire bandwidth: the loader-fed pipeline's hard bound on
+    # relayed attachments (PERFORMANCE.md §Host input pipeline)
+    try:
+        _mark("wire probe")
+        out["host_to_device_MBps"] = round(_wire_mbps(), 1)
+        _mark(f"wire: {out['host_to_device_MBps']} MB/s")
+    except Exception:
+        pass
 
     # the SYSTEM numbers: loader-fed sustained throughput, cold (every
     # step decodes its PNGs) and warm (pre-staged canvas cache). Same

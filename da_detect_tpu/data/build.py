@@ -359,13 +359,14 @@ def make_data_loader(cfg, *, is_train: bool, dataset_names=None,
     eval: yields (ImageBatch, image_ids). ``hflip`` forces a deterministic
     flip on every image (the TTA flip pass).
 
-    ``packed`` (train only, host-feed/no sharding): yield
-    (packed_buffer_on_device, BatchPacker) instead — the whole step input
-    crosses host->device as ONE transfer (see data/packing.py; on relayed
-    chips the per-transfer round-trip otherwise dominates the step)."""
-    if packed and (sharding is not None or not is_train):
-        raise ValueError("packed transport is train-time single-device "
-                         "host-feed only")
+    ``packed`` (host-feed/no sharding): the batch crosses host->device as
+    ONE transfer (see data/packing.py; on relayed chips the per-transfer
+    round-trip otherwise dominates). Train yields
+    (packed_buffer_on_device, BatchPacker); eval yields
+    ((buf, packer, sizes_np, orig_sizes_np), image_ids) — the two size
+    arrays stay on host for the prediction rescale."""
+    if packed and sharding is not None:
+        raise ValueError("packed transport is single-device host-feed only")
     if dataset_names is None:
         dataset_names = cfg.DATASETS.TRAIN if is_train else cfg.DATASETS.TEST
     dataset = build_dataset(dataset_names, is_train, is_source)
@@ -440,15 +441,22 @@ def make_data_loader(cfg, *, is_train: bool, dataset_names=None,
         proc._tick("stack_s", t0)
         if packed:
             t0 = time.perf_counter()
-            packer = BatchPacker((batch, targets))
-            buf = packer.pack((batch, targets))
+            if is_train:
+                packer = BatchPacker((batch, targets))
+                buf = packer.pack((batch, targets))
+            else:
+                packer = BatchPacker(batch)
+                buf = packer.pack(batch)
             proc._tick("pack_s", t0)
             t0 = time.perf_counter()
             dev = jax.device_put(buf)
             proc._tick("put_s", t0)
             with proc._stats_lock:
                 proc.stats["batches"] += 1
-            yield dev, packer
+            if is_train:
+                yield dev, packer
+            else:
+                yield (dev, packer, batch.sizes, batch.orig_sizes), ids
             return
         t0 = time.perf_counter()
         batch = put_batch(batch, sharding)

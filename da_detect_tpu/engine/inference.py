@@ -37,18 +37,28 @@ _EVAL_STEP_CACHE: OrderedDict = OrderedDict()
 _EVAL_STEP_CACHE_MAX = 8
 
 
-def _eval_step_for(model, with_masks: bool, with_keypoints: bool):
-    key = (id(model), with_masks, with_keypoints)
+def _eval_step_for(model, with_masks: bool, with_keypoints: bool,
+                   packed: bool = False):
+    key = (id(model), with_masks, with_keypoints, packed)
     hit = _EVAL_STEP_CACHE.get(key)
     if hit is not None and hit[0] is model:
         _EVAL_STEP_CACHE.move_to_end(key)
         return hit[1]
-    if with_masks:
-        fn = jax.jit(lambda v, b: model.apply(v, b, with_masks=True))
-    elif with_keypoints:
-        fn = jax.jit(lambda v, b: model.apply(v, b, with_keypoints=True))
+
+    def call(v, b):
+        if with_masks:
+            return model.apply(v, b, with_masks=True)
+        if with_keypoints:
+            return model.apply(v, b, with_keypoints=True)
+        return model.apply(v, b)
+
+    if packed:
+        # packed eval transport (data/packing.py): the batch arrives as one
+        # byte buffer; the packer is a static arg keyed by layout
+        fn = jax.jit(lambda v, buf, pk: call(v, pk.unpack(buf)),
+                     static_argnums=2)
     else:
-        fn = jax.jit(lambda v, b: model.apply(v, b))
+        fn = jax.jit(call)
     _EVAL_STEP_CACHE[key] = (model, fn)
     while len(_EVAL_STEP_CACHE) > _EVAL_STEP_CACHE_MAX:
         _EVAL_STEP_CACHE.popitem(last=False)
@@ -58,13 +68,20 @@ def _eval_step_for(model, with_masks: bool, with_keypoints: bool):
 def compute_on_dataset(model, variables, data_loader, progress_every: int = 50,
                        with_masks: bool = False, with_keypoints: bool = False):
     """Returns {image_id: dict(boxes, scores, labels[, mask_probs]
-    [, keypoints])} in *original* image coordinates (xyxy)."""
-    eval_step = _eval_step_for(model, with_masks, with_keypoints)
+    [, keypoints])} in *original* image coordinates (xyxy).
+
+    The loop keeps ONE batch in flight: batch N+1 is dispatched (and, with
+    the packed transport, its single transfer overlaps the device) while
+    batch N's detections are fetched and post-processed — on relayed
+    attachments a fully synchronous loop pays the round-trip latency twice
+    per batch (reference inference.py:104-110 there is synchronous)."""
     predictions: dict[int, Any] = {}
     t0 = time.perf_counter()
     n_images = 0
-    for bi, (batch, image_ids) in enumerate(data_loader):
-        out = jax.device_get(eval_step(variables, batch))
+
+    def flush(out, image_ids, sizes, orig):
+        nonlocal n_images
+        out = jax.device_get(out)
         mask_probs = keypoints = None
         if with_masks:
             dets, mask_probs = out
@@ -72,8 +89,6 @@ def compute_on_dataset(model, variables, data_loader, progress_every: int = 50,
             dets, keypoints = out
         else:
             dets = out
-        sizes = np.asarray(jax.device_get(batch.sizes))
-        orig = np.asarray(jax.device_get(batch.orig_sizes))
         for i, img_id in enumerate(image_ids):
             if img_id is None:  # padding entry of the last batch
                 continue
@@ -96,9 +111,28 @@ def compute_on_dataset(model, variables, data_loader, progress_every: int = 50,
                 kp[..., 1] *= sy
                 predictions[img_id]["keypoints"] = kp
             n_images += 1
+
+    pending = None
+    for bi, (batch, image_ids) in enumerate(data_loader):
+        if isinstance(batch, tuple):  # packed eval transport (build.py)
+            buf, packer, sizes, orig = batch
+            eval_step = _eval_step_for(model, with_masks, with_keypoints,
+                                       packed=True)
+            out = eval_step(variables, buf, packer)
+        else:
+            eval_step = _eval_step_for(model, with_masks, with_keypoints)
+            out = eval_step(variables, batch)
+            sizes = np.asarray(jax.device_get(batch.sizes))
+            orig = np.asarray(jax.device_get(batch.orig_sizes))
+        if pending is not None:
+            flush(*pending)
+        pending = (out, image_ids, np.asarray(sizes), np.asarray(orig))
         if progress_every and (bi + 1) % progress_every == 0:
             dt = time.perf_counter() - t0
-            log.info("eval %d images (%.3f s/img)", n_images, dt / max(n_images, 1))
+            log.info("eval %d images (%.3f s/img)", n_images,
+                     dt / max(n_images, 1))
+    if pending is not None:
+        flush(*pending)
     total = time.perf_counter() - t0
     log.info("total eval time: %.1fs (%.4f s/img, %d images)", total,
              total / max(n_images, 1), n_images)

@@ -111,9 +111,17 @@ def run_eval(cfg, logger, model, state, sharding=None):
             res = evaluate(dataset, predictions,
                            output_folder=cfg.MODEL.OUTPUT_DIR)
         else:
-            loader, dataset = make_data_loader(cfg, is_train=False,
-                                               dataset_names=(name,),
-                                               sharding=sharding)
+            # packed eval transport under the same conditions as training
+            # (single transfer per batch; see data/packing.py) — a
+            # single-device sharding is equivalent to host-feed, so packed
+            # replaces it outright
+            eval_packed = (bool(cfg.TPU.PACKED_TRANSPORT)
+                           and jax.device_count() == 1
+                           and jax.process_count() == 1)
+            loader, dataset = make_data_loader(
+                cfg, is_train=False, dataset_names=(name,),
+                sharding=None if eval_packed else sharding,
+                packed=eval_packed)
             logger.info("evaluating on %s (%d images)", name, len(dataset))
             iou_types = ("bbox",)
             if cfg.MODEL.MASK_ON:

@@ -21,3 +21,61 @@ def test_eval_step_memoized_per_model_and_flags():
     assert _eval_step_for(m2, False, False) is not f
     # same-model lookups stay stable across interleaved other-model use
     assert _eval_step_for(m1, False, False) is f
+
+
+def test_eval_step_packed_variant_cached_separately():
+    class M:
+        def apply(self, *a, **k):
+            raise AssertionError("not traced in this test")
+
+    m = M()
+    f = _eval_step_for(m, False, False)
+    fp = _eval_step_for(m, False, False, packed=True)
+    assert fp is not f
+    assert _eval_step_for(m, False, False, packed=True) is fp
+
+
+def test_packed_eval_matches_unpacked(tmp_path):
+    """The packed eval transport (one byte-buffer transfer per batch,
+    unpack-on-device) + the one-in-flight loop must produce identical
+    predictions to the plain path — including the padded last batch."""
+    import numpy as np
+    import pytest
+
+    try:
+        import cv2  # noqa: F401
+    except Exception:
+        pytest.skip("cv2 unavailable")
+    import jax
+
+    import data_factory as factory
+    from da_detect_tpu.data import make_data_loader
+    from da_detect_tpu.engine.inference import compute_on_dataset
+    from da_detect_tpu.models import build_detection_model
+    from test_end_to_end import tiny_train_cfg
+
+    dirs = factory.make_triplet_datasets(str(tmp_path), n_images=5)
+    factory.register_tiny_catalog(dirs)
+    cfg = tiny_train_cfg()
+    cfg.TEST.IMS_PER_BATCH = 2  # 5 images -> padded last batch
+    model = build_detection_model(cfg)
+
+    loader, _ = make_data_loader(cfg, is_train=False,
+                                 dataset_names=("tiny_foggy_cocostyle",))
+    batch, _ids = next(iter(loader))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch)
+    loader.close()
+
+    preds = {}
+    for packed in (False, True):
+        loader, _ = make_data_loader(cfg, is_train=False,
+                                     dataset_names=("tiny_foggy_cocostyle",),
+                                     packed=packed)
+        preds[packed] = compute_on_dataset(model, variables, loader)
+        loader.close()
+    assert sorted(preds[False]) == sorted(preds[True]) and preds[False]
+    for img_id, a in preds[False].items():
+        b = preds[True][img_id]
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]),
+                                          np.asarray(b[k]), err_msg=k)
