@@ -181,3 +181,18 @@ def test_coco_demo_keypoint_overlay():
         assert kps[..., 1][valid].max() <= 50 + 1e-3
     out = demo.run_on_opencv_image(img)
     assert out.shape == img.shape
+
+
+def test_demo_walkthrough_runs(tmp_path, monkeypatch):
+    """The notebook-equivalent walkthrough (demo/demo_walkthrough.py, the
+    counterpart of the reference's demo/Mask_R-CNN_demo.ipynb) runs
+    end-to-end: build COCODemo, predict on the synthetic image, write the
+    overlay."""
+    from da_detect_tpu.demo import demo_walkthrough as dw
+
+    monkeypatch.chdir(tmp_path)
+    demo = dw.build_demo(confidence_threshold=0.0)
+    img = dw.load_bgr(None)
+    out = demo.run_on_opencv_image(img)
+    assert out.shape == img.shape and out.dtype == img.dtype
+    assert dw.main([]) == 0
