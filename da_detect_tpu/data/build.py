@@ -202,7 +202,10 @@ class _SampleProcessor:
             # x -> width - x - 1, v==0 rows forced to 0)
             k = self.num_keypoints
             kps = np.zeros((g, k, 3), np.float32)
-            sx, sy = rw / max(w, 1), rh / max(h, 1)
+            # metadata dims, NOT the decode-path locals: on a stage-cache
+            # hit no decode happened (puts are gated on file==metadata
+            # dims, so these are identical on both paths)
+            sx, sy = rw / max(mw, 1), rh / max(mh, 1)
             for i in range(n):
                 raw = sample.get("keypoints", [None] * (i + 1))[i]
                 if raw is None:
