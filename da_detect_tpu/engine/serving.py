@@ -93,12 +93,17 @@ def _export_in_subprocess(exp_bytes: bytes, meta: dict):
     return out["payload"], out["aot_in_tree"], out["aot_out_tree"]
 
 
-def batch_spec(cfg, batch_size: int = 1):
-    """Shape/dtype spec of the fixed eval canvas batch."""
+def batch_spec(cfg, batch_size: int = 1, image_dtype=jnp.float32):
+    """Shape/dtype spec of the fixed eval canvas batch.
+
+    ``image_dtype`` uint8 exports a raw-pixel server: clients ship 1
+    byte/pixel and the exported program normalizes on device
+    (ImageBatch.normalized — same win as TPU.TRANSPORT_PIXELS for
+    training; the wire is the serving bottleneck on remote attachments)."""
     h, w = canvas_for(cfg, is_train=False)
     b = batch_size
     return ImageBatch(
-        images=jax.ShapeDtypeStruct((b, h, w, 3), jnp.float32),
+        images=jax.ShapeDtypeStruct((b, h, w, 3), image_dtype),
         sizes=jax.ShapeDtypeStruct((b, 2), jnp.int32),
         orig_sizes=jax.ShapeDtypeStruct((b, 2), jnp.int32),
         is_source=jax.ShapeDtypeStruct((b,), jnp.bool_))
@@ -107,7 +112,8 @@ def batch_spec(cfg, batch_size: int = 1):
 def export_serving(cfg, model, variables, out_path: str, *,
                    fmt: str = "aot", batch_size: int = 1,
                    with_masks: bool = False, with_keypoints: bool = False,
-                   pristine: bool | None = None):
+                   pristine: bool | None = None,
+                   image_dtype=jnp.float32):
     """Export the jitted eval forward to ``out_path``.
 
     ``variables`` provides only the parameter *shapes* (specs are taken from
@@ -125,7 +131,7 @@ def export_serving(cfg, model, variables, out_path: str, *,
     var_spec = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
         variables)
-    b_spec = batch_spec(cfg, batch_size)
+    b_spec = batch_spec(cfg, batch_size, image_dtype)
 
     in_leaves, in_tree = jax.tree.flatten((var_spec, b_spec))
     out_spec = jax.eval_shape(fn, var_spec, b_spec)

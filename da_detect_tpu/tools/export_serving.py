@@ -38,6 +38,11 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--with-masks", action="store_true")
     p.add_argument("--with-keypoints", action="store_true")
+    p.add_argument("--image-dtype", default="float32",
+                   choices=("float32", "uint8"),
+                   help="uint8 exports a raw-pixel server: clients ship 1 "
+                        "byte/pixel, normalization runs inside the exported "
+                        "program (engine/serving.py::batch_spec)")
     args = p.parse_args(argv)
     cfg, logger = setup(args, "da_detect_tpu.export_serving")
 
@@ -63,10 +68,12 @@ def main(argv=None):
             weight, variables,
             pool_resolution=cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION)
 
+    import jax.numpy as jnp
     meta = export_serving(cfg, model, variables, args.output,
                           fmt=args.format, batch_size=args.batch_size,
                           with_masks=args.with_masks,
-                          with_keypoints=args.with_keypoints)
+                          with_keypoints=args.with_keypoints,
+                          image_dtype=jnp.dtype(args.image_dtype))
     logger.info("wrote %s: %s", args.output, meta)
 
 

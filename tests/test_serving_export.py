@@ -133,3 +133,35 @@ def test_serving_is_weight_agnostic(tiny_eval_setup, tmp_path):
                for a, b in zip(jax.tree.leaves(out_ref),
                                jax.tree.leaves(out_bumped)))
     assert not same
+
+
+def test_uint8_export_matches_float_path(tiny_eval_setup, tmp_path):
+    """A uint8-input export (raw-pixel server: 1 byte/pixel on the wire,
+    normalization inside the exported program) must produce the same
+    detections as the f32 jit on the equivalent normalized canvas."""
+    cfg, model, variables, _batch, _ref = tiny_eval_setup
+    rng = np.random.RandomState(1)
+    spec = batch_spec(cfg, 1, jnp.uint8)
+    raw = rng.randint(0, 256, spec.images.shape, dtype=np.uint8)
+    u8_batch = ImageBatch(
+        images=jnp.asarray(raw),
+        sizes=jnp.asarray([[64, 96]], jnp.int32),
+        orig_sizes=jnp.asarray([[64, 96]], jnp.int32),
+        is_source=jnp.ones((1,), bool))
+    # the f32 reference input: the exact canvas the device-side normalize
+    # produces (full-size image -> no padding mask effect)
+    mean = np.asarray(cfg.INPUT.PIXEL_MEAN, np.float32)
+    f32_batch = ImageBatch(
+        images=jnp.asarray(raw.astype(np.float32) - mean),
+        sizes=u8_batch.sizes, orig_sizes=u8_batch.orig_sizes,
+        is_source=u8_batch.is_source)
+    ref = jax.jit(lambda v, b: model.apply(v, b))(variables, f32_batch)
+
+    path = str(tmp_path / "serving_u8.pkl")
+    export_serving(cfg, model, variables, path, fmt="stablehlo",
+                   image_dtype=jnp.uint8)
+    serving = load_serving(path)
+    out = serving(variables, u8_batch)
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(out)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
