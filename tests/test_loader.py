@@ -266,3 +266,44 @@ def test_stage_cache_disabled_keeps_decoding(mixed_orientation_data,
     _, s1 = _epoch_batches(cfg)
     _, s2 = _epoch_batches(cfg)
     assert "stage_hits" not in s2 and s2["decode_s"] > 0
+
+
+def test_uint8_transport_matches_f32_prep_within_rounding(
+        mixed_orientation_data):
+    """TPU.TRANSPORT_PIXELS uint8 ships raw pixels and normalizes on device
+    (ImageBatch.normalized). Under a REAL resize the only difference vs the
+    reference-exact f32 host prep is cv2's uint8 fixed-point bilinear
+    rounding — pin the documented bound (~1 unit on the BGR255 scale,
+    below bf16 input rounding at pixel magnitudes) and that boxes/geometry
+    are identical."""
+    import jax.numpy as jnp
+
+    from da_detect_tpu.structures.image_batch import ImageBatch
+
+    outs = {}
+    for mode in ("uint8", "float32"):
+        cfg = _cfg()
+        cfg.TPU.TRANSPORT_PIXELS = mode
+        cfg.DATALOADER.STAGE_CACHE = False
+        loader, _ = make_data_loader(cfg, is_train=True,
+                                     dataset_names=("mixed_cocostyle",),
+                                     seed=0, infinite=False)
+        outs[mode] = [(np.asarray(b.images), np.asarray(b.sizes),
+                       np.asarray(t.boxes)) for b, t in loader]
+        loader.close()
+        pix = cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD, cfg.INPUT.TO_BGR255
+
+    assert len(outs["uint8"]) == len(outs["float32"])
+    mean, std, bgr = pix
+    for (iu, su, bu), (i32, s32, b32) in zip(outs["uint8"], outs["float32"]):
+        assert iu.dtype == np.uint8 and i32.dtype == np.float32
+        np.testing.assert_array_equal(su, s32)
+        np.testing.assert_array_equal(bu, b32)
+        batch = ImageBatch(images=jnp.asarray(iu), sizes=jnp.asarray(su),
+                           orig_sizes=jnp.asarray(su),
+                           is_source=jnp.ones((iu.shape[0],), bool))
+        norm = np.asarray(batch.normalized(mean, std, bgr))
+        assert norm.dtype == np.float32
+        np.testing.assert_allclose(norm, i32, atol=1.0, rtol=0)
+        # and it is genuinely the same image, not coincidentally close
+        assert np.abs(norm - i32).mean() < 0.3
